@@ -1,0 +1,224 @@
+"""QTensor: the quantized-weight pytree leaf.
+
+The TPU-native analogue of the reference's quantized initializer triple
+(``W_q``, ``scale``, ``zero_point`` emitted at ``qrules/_common.py:126-144``)
+*plus* the execution spec the reference encodes in its choice of qfunction
+(``qfunctions/_qdq/qmatmul.py:9-173``): format, activation quant modes, and the
+static activation qparams.
+
+Layout is TPU-first (SURVEY.md §2B): weights keep the logical ``(K, N)``
+orientation with ``N`` (out features) on the lane axis; 4-bit weights are
+nibble-packed pairwise along ``K`` into ``(ceil(K/2), N)`` uint8 so a Pallas
+kernel can unpack along sublanes while the MXU consumes ``(K_tile, N_tile)``
+tiles; group scales are ``(n_groups, N)`` so a K-tile broadcasts one scale row.
+This deliberately differs from ORT's MatMulNBits blob layout
+(``qrules/_common.py:65-123``) — parity is semantic, not byte-level.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onnx_quantize_tpu.core.dtypes import QuantType
+from onnx_quantize_tpu.core.enums import QFormat, QuantizationStrategy
+
+__all__ = ["QTensorMeta", "ActQuantSpec", "QTensor", "QBias", "make_qtensor"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ActQuantSpec:
+    """Static description of one activation quantization (input or output)."""
+
+    mode: str  # "none" | "static" | "dynamic"
+    dtype: str = "uint8"  # QuantType value
+    symmetric: bool = False
+    reduce_range: bool = False
+
+    @property
+    def quant_type(self) -> QuantType:
+        return QuantType(self.dtype)
+
+
+_NO_ACT = ActQuantSpec(mode="none")
+
+
+@dataclasses.dataclass(frozen=True)
+class QTensorMeta:
+    """Static (trace-constant) metadata of a quantized weight."""
+
+    quant_type: str  # QuantType value
+    strategy: str  # QuantizationStrategy value
+    group_size: int  # resolved; -1 for channel/tensor
+    symmetric: bool
+    reduce_range: bool
+    shape: tuple[int, int]  # logical (K, N)
+    format: str = "qdq"  # QFormat value
+    packed: bool = False  # 4-bit nibble packing along K
+    input_quant: ActQuantSpec = _NO_ACT
+    output_quant: ActQuantSpec = _NO_ACT
+
+    @property
+    def qt(self) -> QuantType:
+        return QuantType(self.quant_type)
+
+    @property
+    def strat(self) -> QuantizationStrategy:
+        return QuantizationStrategy(self.strategy)
+
+    @property
+    def fmt(self) -> QFormat:
+        return QFormat(self.format)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensor:
+    """Quantized weight + qparams + optional static activation qparams.
+
+    Children (traced): data, scale, zero_point, input/output act scales.
+    Aux (static): :class:`QTensorMeta`.
+    """
+
+    data: Any  # (K, N) int8/uint8 or (ceil(K/2), N) uint8 when packed
+    scale: Any  # scalar | (N,) | (n_groups, N)
+    zero_point: Any  # same shape family as scale (float for HQQ)
+    meta: QTensorMeta
+    input_scale: Any = None
+    input_zero_point: Any = None
+    output_scale: Any = None
+    output_zero_point: Any = None
+
+    def tree_flatten(self):
+        children = (
+            self.data, self.scale, self.zero_point,
+            self.input_scale, self.input_zero_point,
+            self.output_scale, self.output_zero_point,
+        )
+        return children, self.meta
+
+    @classmethod
+    def tree_unflatten(cls, meta, children):
+        data, scale, zp, is_, izp, os_, ozp = children
+        return cls(data, scale, zp, meta, is_, izp, os_, ozp)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return self.meta.shape
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QBias:
+    """Quantized bias vector (per-tensor), dequantized at execution.
+
+    QDQ Gemm: RTN per-tensor in the weight dtype (``gemm_to_qgemm.py:47-62``).
+    QLinear Gemm: int32 with ``scale = x_scale * w_scale`` (``rtn.py:112-138``).
+    """
+
+    data: Any  # (N,)
+    scale: Any
+    zero_point: Any
+    quant_type: str
+
+    def tree_flatten(self):
+        return (self.data, self.scale, self.zero_point), self.quant_type
+
+    @classmethod
+    def tree_unflatten(cls, quant_type, children):
+        return cls(*children, quant_type)
+
+    def dequantize(self):
+        return (
+            jnp.asarray(self.data, jnp.float32) - jnp.asarray(self.zero_point, jnp.float32)
+        ) * jnp.asarray(self.scale, jnp.float32)
+
+
+def _pack_k_pairs(q: np.ndarray) -> np.ndarray:
+    """Pack (K, N) 4-bit container values into (ceil(K/2), N) uint8 along K."""
+    K, N = q.shape
+    u = q.astype(np.int32)
+    u = np.where(u < 0, u + 16, u).astype(np.uint8)
+    if K % 2 == 1:
+        u = np.concatenate([u, np.zeros((1, N), dtype=np.uint8)], axis=0)
+    return (u[0::2] & 0x0F) | ((u[1::2] & 0x0F) << 4)
+
+
+def unpack_k_pairs(data: jnp.ndarray, K: int, signed: bool) -> jnp.ndarray:
+    """Unpack (ceil(K/2), N) uint8 back to (K, N) container values (jnp)."""
+    low = (data & 0x0F).astype(jnp.uint8)
+    high = ((data >> 4) & 0x0F).astype(jnp.uint8)
+    interleaved = jnp.stack([low, high], axis=1).reshape(-1, data.shape[1])[:K]
+    if signed:
+        s = interleaved.astype(jnp.int8)
+        return jnp.where(s > 7, s - 16, s)
+    return interleaved
+
+
+def _layout_scale(scale: np.ndarray, zp: np.ndarray, strategy: QuantizationStrategy,
+                  K: int, N: int):
+    """Convert algorithm-layout scale/zp to the TPU layout.
+
+    Algorithms return: scalar (tensor), (N,) (channel), or (N * n_groups, 1)
+    (group, row-major over out channels). TPU layout wants (n_groups, N).
+    """
+    scale = np.asarray(scale)
+    zp = np.asarray(zp)
+    if strategy == QuantizationStrategy.GROUP:
+        n_groups = scale.size // N
+        scale = scale.reshape(N, n_groups).T.copy()
+        zp = zp.reshape(N, n_groups).T.copy()
+    return scale, zp
+
+
+def make_qtensor(
+    q_weight: np.ndarray,
+    scale: np.ndarray,
+    zero_point: np.ndarray,
+    *,
+    quant_type: QuantType,
+    strategy: QuantizationStrategy,
+    group_size: int,
+    symmetric: bool,
+    reduce_range: bool,
+    fmt: QFormat = QFormat.QDQ,
+    input_quant: ActQuantSpec = _NO_ACT,
+    output_quant: ActQuantSpec = _NO_ACT,
+    input_scale=None,
+    input_zero_point=None,
+    output_scale=None,
+    output_zero_point=None,
+) -> QTensor:
+    """Build a QTensor from algorithm outputs (``(K, N)`` q-weight + qparams)."""
+    K, N = q_weight.shape
+    scale, zero_point = _layout_scale(scale, zero_point, strategy, K, N)
+
+    packed = quant_type.bitwidth == 4
+    data = _pack_k_pairs(np.asarray(q_weight)) if packed else np.asarray(q_weight)
+
+    meta = QTensorMeta(
+        quant_type=quant_type.value,
+        strategy=strategy.value,
+        group_size=group_size if group_size else -1,
+        symmetric=symmetric,
+        reduce_range=reduce_range,
+        shape=(K, N),
+        format=fmt.value,
+        packed=packed,
+        input_quant=input_quant,
+        output_quant=output_quant,
+    )
+    return QTensor(
+        data=jnp.asarray(data),
+        scale=jnp.asarray(scale),
+        zero_point=jnp.asarray(zero_point),
+        meta=meta,
+        input_scale=None if input_scale is None else jnp.asarray(input_scale),
+        input_zero_point=None if input_zero_point is None else jnp.asarray(input_zero_point),
+        output_scale=None if output_scale is None else jnp.asarray(output_scale),
+        output_zero_point=None if output_zero_point is None else jnp.asarray(output_zero_point),
+    )

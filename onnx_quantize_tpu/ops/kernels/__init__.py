@@ -1,0 +1,35 @@
+"""Pallas TPU kernel registry.
+
+Kernels register themselves by predicate; :func:`select_kernel` returns the
+first kernel whose predicate covers the QTensor's config, or None to fall back
+to the jnp reference path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from onnx_quantize_tpu.nn.qtensor import QTensor
+
+__all__ = ["register_kernel", "select_kernel"]
+
+_KERNELS: list[tuple[Callable, Callable]] = []  # (predicate, kernel)
+
+
+def register_kernel(predicate: Callable) -> Callable:
+    def deco(fn: Callable) -> Callable:
+        _KERNELS.append((predicate, fn))
+        return fn
+
+    return deco
+
+
+def select_kernel(x, qt: QTensor, bias):
+    for predicate, kernel in _KERNELS:
+        if predicate(x, qt, bias):
+            return kernel
+    return None
+
+
+# Import kernel modules so they register (guarded: pallas requires TPU/CPU-interpret).
+from onnx_quantize_tpu.ops.kernels import matmul_w4, matmul_w8, matmul_q8  # noqa: E402,F401
