@@ -89,7 +89,7 @@ def test_gptq_jit_matches_host_sweep(rng):
     )
     scale, zp = np.squeeze(np.asarray(scale)), np.squeeze(np.asarray(zp))
     qmin, qmax = QuantType.QInt8.qrange(False)
-    Q_host, Qint_host = _gptq_sweep_host(
+    Q_host, Qint_host, g_scales, g_zps = _gptq_sweep_host(
         W, Hinv, scale, zp, qmin=qmin, qmax=qmax, block_size=16, group_size=8,
         use_group=True, quant_type=QuantType.QInt8, sym=False, rr=False,
         clip_ratio=1.0, mse=False, scale_dtype=np.float32, zp_dtype=np.float32,

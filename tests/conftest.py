@@ -3,6 +3,10 @@ import os
 # Tests run on a virtual 8-device CPU mesh so sharding/collective paths are
 # exercised without TPU hardware (SURVEY.md §4 implication (c)).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA CPU first-time compiles are slow on small VMs; persist them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compilation_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
