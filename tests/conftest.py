@@ -1,17 +1,26 @@
 import os
 
-# Tests run on a virtual 8-device CPU mesh so sharding/collective paths are
-# exercised without TPU hardware (SURVEY.md §4 implication (c)).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# XLA CPU first-time compiles are slow on small VMs; persist them across runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compilation_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# XLA_FLAGS is read at backend initialization, so setting it here (before any
+# jax computation) still takes effect even though the environment's site hook
+# imported jax at interpreter start.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# XLA CPU first-time compiles can be slow; persist them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compilation_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+# Tests run on a virtual 8-device CPU mesh so sharding/collective paths are
+# exercised without TPU hardware (SURVEY.md §4 implication (c)). The ambient
+# environment pins JAX_PLATFORMS to a tunneled TPU plugin *and* imports jax at
+# interpreter start (so env mutation is too late) — override via jax.config,
+# which is honored until the first backend is initialized.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

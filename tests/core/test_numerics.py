@@ -28,8 +28,11 @@ from onnx_quantize_tpu.core.numerics import (
         # One-sided negative range.
         (np.array([-5.0, -2.0, 0.0]), QuantType.QInt8, False, 5.0 / 255, 127),
         (np.array([-5.0, -2.0, 0.0]), QuantType.QInt8, True, 5.0 / 127, 0),
-        # Standard two-sided.
-        (np.array([-5.0, 0.0, 5.0]), QuantType.QInt8, False, 10.0 / 255, 0),
+        # Standard two-sided. In float32 (the dtype of real weights, and what
+        # the reference's numpy math uses on them) zp lands at -0.5000076 and
+        # rounds to -1; the reference's own test gets 0 only because it feeds
+        # float64 literals.
+        (np.array([-5.0, 0.0, 5.0]), QuantType.QInt8, False, 10.0 / 255, -1),
         (np.array([-10.0, -5.0, 5.0, 10.0]), QuantType.QInt8, True, 10.0 / 127, 0),
         (np.array([0.0, 5.0, 10.0]), QuantType.QUInt8, False, 10.0 / 255, 0),
         # Symmetric unsigned: zero point at the range midpoint (128), scale uses
