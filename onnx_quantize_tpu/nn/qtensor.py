@@ -7,12 +7,17 @@ The TPU-native analogue of the reference's quantized initializer triple
 static activation qparams.
 
 Layout is TPU-first (SURVEY.md §2B): weights keep the logical ``(K, N)``
-orientation with ``N`` (out features) on the lane axis; 4-bit weights are
-nibble-packed pairwise along ``K`` into ``(ceil(K/2), N)`` uint8 so a Pallas
-kernel can unpack along sublanes while the MXU consumes ``(K_tile, N_tile)``
-tiles; group scales are ``(n_groups, N)`` so a K-tile broadcasts one scale row.
-This deliberately differs from ORT's MatMulNBits blob layout
-(``qrules/_common.py:65-123``) — parity is semantic, not byte-level.
+orientation with ``N`` (out features) on the lane axis; group scales are
+``(n_groups, N)`` so a K-tile broadcasts one scale row. 4-bit weights use
+*group-pair* nibble packing: the low nibble of packed row ``p*gs + r`` holds
+logical row ``(2p)*gs + r`` (scale group ``2p``) and the high nibble holds
+``(2p+1)*gs + r`` (group ``2p+1``). Unpacking is therefore two masked shifts
+and NO sublane interleave — the Pallas kernel turns one packed ``(gs, bn)``
+tile into two dequantized ``(gs, bn)`` tiles that feed two MXU dots against
+contiguous ``x`` column chunks. Non-group strategies use one virtual group
+pair spanning the two K-halves. This deliberately differs from ORT's
+MatMulNBits blob layout (``qrules/_common.py:65-123``) — parity is semantic,
+not byte-level.
 """
 
 from __future__ import annotations
@@ -58,7 +63,8 @@ class QTensorMeta:
     reduce_range: bool
     shape: tuple[int, int]  # logical (K, N)
     format: str = "qdq"  # QFormat value
-    packed: bool = False  # 4-bit nibble packing along K
+    packed: bool = False  # 4-bit group-pair nibble packing along K
+    pack_group: int = 0  # rows per nibble group (gs for GROUP, ceil(K/2) else)
     input_quant: ActQuantSpec = _NO_ACT
     output_quant: ActQuantSpec = _NO_ACT
 
@@ -138,25 +144,48 @@ class QBias:
         ) * jnp.asarray(self.scale, jnp.float32)
 
 
-def _pack_k_pairs(q: np.ndarray) -> np.ndarray:
-    """Pack (K, N) 4-bit container values into (ceil(K/2), N) uint8 along K."""
+def pack_layout(K: int, strategy: QuantizationStrategy, group_size: int):
+    """Group-pair packing geometry: (rows_per_group, padded_group_count)."""
+    if strategy == QuantizationStrategy.GROUP and group_size and group_size > 0:
+        gs = min(group_size, K)
+    else:
+        gs = (K + 1) // 2
+    n_groups = -(-K // gs)
+    if n_groups % 2 == 1:
+        n_groups += 1
+    return gs, n_groups
+
+
+def _pack_group_pairs(q: np.ndarray, gs: int, n_groups_pad: int) -> np.ndarray:
+    """Pack (K, N) 4-bit container values into group-pair nibble layout.
+
+    Packed row ``p*gs + r`` holds logical row ``(2p)*gs + r`` in the low
+    nibble and ``(2p+1)*gs + r`` in the high nibble. Logical rows past K are
+    zero padding.
+    """
     K, N = q.shape
+    K_pad = n_groups_pad * gs
     u = q.astype(np.int32)
     u = np.where(u < 0, u + 16, u).astype(np.uint8)
-    if K % 2 == 1:
-        u = np.concatenate([u, np.zeros((1, N), dtype=np.uint8)], axis=0)
-    return (u[0::2] & 0x0F) | ((u[1::2] & 0x0F) << 4)
+    if K_pad != K:
+        u = np.concatenate([u, np.zeros((K_pad - K, N), dtype=np.uint8)], axis=0)
+    u = u.reshape(n_groups_pad // 2, 2, gs, N)
+    return ((u[:, 0] & 0x0F) | ((u[:, 1] & 0x0F) << 4)).reshape(K_pad // 2, N)
 
 
-def unpack_k_pairs(data: jnp.ndarray, K: int, signed: bool) -> jnp.ndarray:
-    """Unpack (ceil(K/2), N) uint8 back to (K, N) container values (jnp)."""
-    low = (data & 0x0F).astype(jnp.uint8)
-    high = ((data >> 4) & 0x0F).astype(jnp.uint8)
-    interleaved = jnp.stack([low, high], axis=1).reshape(-1, data.shape[1])[:K]
+def unpack_k_pairs(data: jnp.ndarray, K: int, signed: bool, pack_group: int) -> jnp.ndarray:
+    """Unpack group-pair nibble layout back to (K, N) container values (jnp)."""
+    half_rows, N = data.shape
+    gs = pack_group
+    pairs = half_rows // gs
+    d = data.reshape(pairs, gs, N)
+    low = (d & 0x0F).astype(jnp.uint8)
+    high = ((d >> 4) & 0x0F).astype(jnp.uint8)
+    full = jnp.stack([low, high], axis=1).reshape(2 * half_rows, N)[:K]
     if signed:
-        s = interleaved.astype(jnp.int8)
+        s = full.astype(jnp.int8)
         return jnp.where(s > 7, s - 16, s)
-    return interleaved
+    return full
 
 
 def _layout_scale(scale: np.ndarray, zp: np.ndarray, strategy: QuantizationStrategy,
@@ -198,7 +227,12 @@ def make_qtensor(
     scale, zero_point = _layout_scale(scale, zero_point, strategy, K, N)
 
     packed = quant_type.bitwidth == 4
-    data = _pack_k_pairs(np.asarray(q_weight)) if packed else np.asarray(q_weight)
+    if packed:
+        gs, n_groups_pad = pack_layout(K, strategy, group_size)
+        data = _pack_group_pairs(np.asarray(q_weight), gs, n_groups_pad)
+    else:
+        gs = 0
+        data = np.asarray(q_weight)
 
     meta = QTensorMeta(
         quant_type=quant_type.value,
@@ -209,6 +243,7 @@ def make_qtensor(
         shape=(K, N),
         format=fmt.value,
         packed=packed,
+        pack_group=gs,
         input_quant=input_quant,
         output_quant=output_quant,
     )

@@ -1,1 +1,181 @@
-"""Pallas kernel module (matmul_w4) — implemented in the kernel phase."""
+"""Fused W4 (uint4/int4) grouped dequant-matmul Pallas kernel.
+
+The MatMulNBits-equivalent flagship kernel (SURVEY.md §2B): packed 4-bit
+weights are unpacked *in registers* inside the kernel — thanks to the
+group-pair nibble layout (see ``nn/qtensor.py``), unpacking one packed
+``(gs, bn)`` tile is two masked shifts producing the dequantized tiles of two
+consecutive scale groups, each feeding an MXU dot against a contiguous
+``(bm, gs)`` x-chunk. No sublane interleave, scales broadcast along the K-tile
+from VMEM rows.
+
+Grid: ``(M/bm, N/bn, G_pad/2)`` with the group-pair axis innermost,
+accumulating in an f32 VMEM scratch and flushing on the last step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from onnx_quantize_tpu.core.enums import QFormat, QuantizationStrategy
+from onnx_quantize_tpu.nn.qtensor import QTensor
+from onnx_quantize_tpu.ops.kernels import register_kernel
+
+__all__ = ["w4_dequant_matmul"]
+
+
+def _w4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, signed, n_pairs,
+               compute_dtype):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[:]
+    low = (w & 0x0F).astype(jnp.uint8)
+    high = ((w >> 4) & 0x0F).astype(jnp.uint8)
+    if signed:
+        low_s = low.astype(jnp.int32)
+        high_s = high.astype(jnp.int32)
+        low_f = jnp.where(low_s > 7, low_s - 16, low_s).astype(jnp.float32)
+        high_f = jnp.where(high_s > 7, high_s - 16, high_s).astype(jnp.float32)
+    else:
+        low_f = low.astype(jnp.float32)
+        high_f = high.astype(jnp.float32)
+
+    dq_low = ((low_f - z_ref[0:1, :]) * s_ref[0:1, :]).astype(compute_dtype)
+    dq_high = ((high_f - z_ref[1:2, :]) * s_ref[1:2, :]).astype(compute_dtype)
+
+    x = x_ref[:]
+    acc_ref[:] += jnp.dot(
+        x[:, :gs], dq_low, preferred_element_type=jnp.float32
+    ) + jnp.dot(x[:, gs:], dq_high, preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_pairs - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _pad_axis(a, axis, to):
+    size = a.shape[axis]
+    pad = (-size) % to
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gs", "signed", "bm", "bn", "interpret", "out_dtype")
+)
+def _w4_call(x2d, data, scales, zps, *, gs, signed, bm, bn, interpret, out_dtype):
+    M, K_pad = x2d.shape
+    half_rows, N = data.shape
+    n_pairs = half_rows // gs
+    compute_dtype = x2d.dtype
+
+    grid = (M // bm, N // bn, n_pairs)
+    kernel = functools.partial(
+        _w4_kernel, gs=gs, signed=signed, n_pairs=n_pairs, compute_dtype=compute_dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, 2 * gs), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * 2 * half_rows * N,
+            bytes_accessed=M * K_pad * x2d.dtype.itemsize + half_rows * N + M * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2d, data, scales, zps)
+
+
+def _expand_scales(qt: QTensor, G_pad: int, N: int):
+    """Normalize scale/zp to (G_pad, N) f32 rows, padded with (1, 0)."""
+    strat = qt.meta.strat
+    scale = jnp.asarray(qt.scale, jnp.float32)
+    zp = jnp.asarray(qt.zero_point, jnp.float32)
+    if strat == QuantizationStrategy.GROUP:
+        G = scale.shape[0]
+        if G != G_pad:
+            scale = jnp.concatenate(
+                [scale, jnp.ones((G_pad - G, N), jnp.float32)], axis=0
+            )
+            zp = jnp.concatenate([zp, jnp.zeros((G_pad - G, N), jnp.float32)], axis=0)
+        return scale, zp
+    if strat == QuantizationStrategy.CHANNEL:
+        return (
+            jnp.broadcast_to(scale[None, :], (G_pad, N)),
+            jnp.broadcast_to(zp[None, :], (G_pad, N)),
+        )
+    return (
+        jnp.full((G_pad, N), scale, jnp.float32),
+        jnp.full((G_pad, N), zp, jnp.float32),
+    )
+
+
+def w4_dequant_matmul(x, qt: QTensor, *, interpret: bool | None = None):
+    """``x @ dequant(qt)`` with in-kernel nibble unpack. x: (..., K)."""
+    K, N = qt.meta.shape
+    gs = qt.meta.pack_group
+    half_rows = qt.data.shape[0]
+    K_pad = 2 * half_rows
+    G_pad = K_pad // gs
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    batch_shape = x.shape[:-1]
+    M = int(np.prod(batch_shape)) if batch_shape else 1
+    x2d = x.reshape(M, K)
+    if K_pad != K:
+        x2d = _pad_axis(x2d, 1, K_pad)  # zero rows in w pad region contribute 0
+
+    bm = min(256, max(8, M))
+    x2d = _pad_axis(x2d, 0, bm)
+    bn = 256 if N % 256 == 0 else (128 if N % 128 == 0 else N)
+
+    scales, zps = _expand_scales(qt, G_pad, N)
+    out = _w4_call(
+        x2d, jnp.asarray(qt.data), scales, zps,
+        gs=gs, signed=qt.meta.qt.is_signed, bm=bm, bn=bn,
+        interpret=interpret, out_dtype=jnp.float32,
+    )
+    return out[:M].reshape(*batch_shape, N)
+
+
+def _w4_predicate(x, qt: QTensor, bias) -> bool:
+    if not qt.meta.packed or qt.meta.fmt != QFormat.QDQ:
+        return False
+    gs = qt.meta.pack_group
+    K, N = qt.meta.shape
+    # Sublane-tileable group rows and lane-tileable N.
+    return gs % 8 == 0 and N % 128 == 0
+
+
+@register_kernel(_w4_predicate)
+def _w4_kernel_entry(x, qt: QTensor, bias):
+    from onnx_quantize_tpu.ops.reference import qdq_epilogue, qdq_prologue
+
+    x = qdq_prologue(x, qt)
+    y = w4_dequant_matmul(x, qt)
+    return qdq_epilogue(y, qt, bias)

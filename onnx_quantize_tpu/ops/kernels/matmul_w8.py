@@ -1,1 +1,156 @@
-"""Pallas kernel module (matmul_w8) — implemented in the kernel phase."""
+"""Fused W8 (int8/uint8) dequant-matmul Pallas kernel.
+
+Covers per-tensor / per-channel / grouped 8-bit QDQ weights: the K-tile is
+dequantized in VMEM using one scale row per tile (the wrapper normalizes all
+strategies to ``(K/bk, N)`` scale rows so tensor/channel broadcast for free)
+and fed straight to the MXU. This replaces the DequantizeLinear + MatMul pair
+the reference emits (``qfunctions/_qdq/qmatmul.py:17-21``) with one fused op.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from onnx_quantize_tpu.core.enums import QFormat, QuantizationStrategy
+from onnx_quantize_tpu.nn.qtensor import QTensor
+from onnx_quantize_tpu.ops.kernels import register_kernel
+
+__all__ = ["w8_dequant_matmul"]
+
+
+def _w8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k, compute_dtype):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    dq = ((w_ref[:].astype(jnp.float32) - z_ref[0:1, :]) * s_ref[0:1, :]).astype(
+        compute_dtype
+    )
+    acc_ref[:] += jnp.dot(x_ref[:], dq, preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _pad_axis(a, axis, to):
+    pad = (-a.shape[axis]) % to
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret", "out_dtype"))
+def _w8_call(x2d, data, scale_rows, zp_rows, *, bm, bn, bk, interpret, out_dtype):
+    M, K_pad = x2d.shape
+    _, N = data.shape
+    n_k = K_pad // bk
+    kernel = functools.partial(_w8_kernel, n_k=n_k, compute_dtype=x2d.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(M // bm, N // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K_pad * N,
+            bytes_accessed=M * K_pad * x2d.dtype.itemsize + K_pad * N + M * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2d, data, scale_rows, zp_rows)
+
+
+def _scale_rows_for(qt: QTensor, bk: int, K_pad: int, N: int):
+    """Build (K_pad/bk, N) f32 scale/zp rows, one per K tile."""
+    strat = qt.meta.strat
+    n_k = K_pad // bk
+    scale = jnp.asarray(qt.scale, jnp.float32)
+    zp = jnp.asarray(qt.zero_point, jnp.float32)
+    if strat == QuantizationStrategy.GROUP:
+        # bk == group size (enforced by the predicate); pad rows with 1/0.
+        G = scale.shape[0]
+        if G != n_k:
+            scale = jnp.concatenate([scale, jnp.ones((n_k - G, N), jnp.float32)], 0)
+            zp = jnp.concatenate([zp, jnp.zeros((n_k - G, N), jnp.float32)], 0)
+        return scale, zp
+    if strat == QuantizationStrategy.CHANNEL:
+        return (
+            jnp.broadcast_to(scale[None, :], (n_k, N)),
+            jnp.broadcast_to(zp[None, :], (n_k, N)),
+        )
+    return jnp.full((n_k, N), scale, jnp.float32), jnp.full((n_k, N), zp, jnp.float32)
+
+
+def w8_dequant_matmul(x, qt: QTensor, *, interpret: bool | None = None):
+    """``x @ dequant(qt)`` for 8-bit weights. x: (..., K)."""
+    K, N = qt.meta.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    strat = qt.meta.strat
+    if strat == QuantizationStrategy.GROUP:
+        bk = qt.meta.group_size
+    else:
+        bk = 512 if K % 512 == 0 else (128 if K % 128 == 0 else K)
+
+    batch_shape = x.shape[:-1]
+    M = int(np.prod(batch_shape)) if batch_shape else 1
+    x2d = x.reshape(M, K)
+    data = jnp.asarray(qt.data)
+    K_pad = K + ((-K) % bk)
+    if K_pad != K:
+        x2d = _pad_axis(x2d, 1, bk)
+        data = _pad_axis(data, 0, bk)
+
+    bm = min(256, max(8, M))
+    x2d = _pad_axis(x2d, 0, bm)
+    bn = 256 if N % 256 == 0 else (128 if N % 128 == 0 else N)
+
+    scale_rows, zp_rows = _scale_rows_for(qt, bk, K_pad, N)
+    out = _w8_call(
+        x2d, data, scale_rows, zp_rows,
+        bm=bm, bn=bn, bk=bk, interpret=interpret, out_dtype=jnp.float32,
+    )
+    return out[:M].reshape(*batch_shape, N)
+
+
+def _w8_predicate(x, qt: QTensor, bias) -> bool:
+    if qt.meta.packed or qt.meta.fmt != QFormat.QDQ:
+        return False
+    if qt.meta.qt.bitwidth != 8:
+        return False
+    K, N = qt.meta.shape
+    if N % 128 != 0:
+        return False
+    if qt.meta.strat == QuantizationStrategy.GROUP:
+        return qt.meta.group_size % 8 == 0
+    return True
+
+
+@register_kernel(_w8_predicate)
+def _w8_kernel_entry(x, qt: QTensor, bias):
+    from onnx_quantize_tpu.ops.reference import qdq_epilogue, qdq_prologue
+
+    x = qdq_prologue(x, qt)
+    y = w8_dequant_matmul(x, qt)
+    return qdq_epilogue(y, qt, bias)

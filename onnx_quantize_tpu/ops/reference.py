@@ -37,7 +37,9 @@ def unpack_weight(qt: QTensor) -> jnp.ndarray:
     """Unpack a QTensor's data to its (K, N) integer container values."""
     K, N = qt.meta.shape
     if qt.meta.packed:
-        return unpack_k_pairs(qt.data, K, signed=qt.meta.qt.is_signed)
+        return unpack_k_pairs(
+            qt.data, K, signed=qt.meta.qt.is_signed, pack_group=qt.meta.pack_group
+        )
     return qt.data
 
 
@@ -162,6 +164,19 @@ def _qlinear_matmul(x, qt: QTensor, bias):
         requant = x_scale * w_scale[None, :] / y_scale
     y_q = jnp.clip(jnp.round(acc.astype(jnp.float32) * requant) + y_zp, oqmin, oqmax)
     return (y_q - y_zp) * y_scale
+
+
+def qdq_prologue(x, qt: QTensor):
+    """Input-side QDQ activation handling (shared with the Pallas path)."""
+    return _apply_input_quant(x, qt)
+
+
+def qdq_epilogue(y, qt: QTensor, bias):
+    """Bias add + output-side QDQ activation handling (shared with Pallas)."""
+    b = _bias_value(bias)
+    if b is not None:
+        y = y + b
+    return _apply_output_quant(y, qt)
 
 
 def quantized_matmul_jnp(x, qt: QTensor, bias=None):
