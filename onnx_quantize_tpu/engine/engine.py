@@ -1,0 +1,179 @@
+"""Inference engine: jit'd prefill + decode over a static KV cache.
+
+The serving runtime the reference outsources to ONNX Runtime (SURVEY.md §2B):
+all shapes are static — prefill compiles once per (batch, padded length)
+bucket, decode compiles exactly once — so XLA sees two programs total and the
+decode loop runs back-to-back device steps. Ragged batches are handled with
+per-sequence lengths: pad-token K/V writes land in slots that a sentinel in
+``kv_positions`` keeps masked until a real token overwrites them.
+
+Works with fp or quantized params (the Linear sites dispatch to the Pallas
+kernels) and fp or int8 KV cache.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onnx_quantize_tpu._logging import get_logger
+from onnx_quantize_tpu.engine.kv_cache import KVCacheConfig, init_cache, read_kv, write_kv
+from onnx_quantize_tpu.engine.sampling import SamplingParams, sample
+
+logger = get_logger(__name__)
+
+__all__ = ["InferenceEngine"]
+
+_FAR = 1 << 30  # kv_positions sentinel: always masked
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        model,
+        params,
+        max_batch: int = 8,
+        max_seq: int = 2048,
+        kv_quant: bool = False,
+        dtype=jnp.float32,
+    ):
+        cfg = model.cfg
+        self.model = model
+        self.params = params
+        self.max_batch = max_batch
+        self.max_seq = max_seq
+        self.dtype = dtype
+        self.cache_cfg = KVCacheConfig(
+            num_layers=cfg.num_layers,
+            batch=max_batch,
+            max_seq=max_seq,
+            num_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim,
+            quantized=kv_quant,
+            dtype=dtype,
+        )
+        self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
+        self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
+
+    def new_cache(self) -> dict:
+        return init_cache(self.cache_cfg)
+
+    # ── model forward with cache ─────────────────────────────────────────
+
+    def _forward(self, params, cache_holder, ids, positions, kv_positions):
+        def kv_write_fn(layer, k, v):
+            cache_holder["cache"] = write_kv(
+                cache_holder["cache"], layer, k, v, positions
+            )
+            return read_kv(cache_holder["cache"], layer, dtype=self.dtype)
+
+        return self.model(
+            params, ids, positions=positions, kv_write=kv_write_fn,
+            kv_positions=kv_positions,
+        )
+
+    def _prefill_impl(self, params, cache, ids, lengths, slot_mask):
+        """ids: (B, T_pad) int32; lengths: (B,) true lengths; slot_mask: (B,)
+        bool — slots to (re)fill. Unselected slots keep their cache rows, so
+        the continuous-batching scheduler can prefill one slot without
+        disturbing in-flight sequences (all inside one jit, donation-safe)."""
+        B, T = ids.shape
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+        slot = jnp.arange(self.max_seq, dtype=jnp.int32)[None, :]
+        kv_positions = jnp.where(slot < lengths[:, None], slot, _FAR)
+
+        holder = {"cache": dict(cache)}
+        logits = self._forward(params, holder, ids, positions, kv_positions)
+        last = jnp.take_along_axis(
+            logits, (lengths - 1)[:, None, None], axis=1
+        )[:, 0]  # (B, V)
+        new = holder["cache"]
+        merged = {}
+        for key in new:
+            if key == "lengths":
+                continue
+            # arrays are (L, B, ...): broadcast the slot mask over dim 1.
+            shape = [1, B] + [1] * (new[key].ndim - 2)
+            merged[key] = jnp.where(slot_mask.reshape(shape), new[key], cache[key])
+        merged["lengths"] = jnp.where(slot_mask, lengths, cache["lengths"])
+        return merged, last
+
+    def _decode_impl(self, params, cache, tokens, active):
+        """tokens: (B,) next input token per slot; active: (B,) bool."""
+        lengths = cache["lengths"]
+        positions = lengths[:, None]  # write position for the new token
+        ids = tokens[:, None]
+        slot = jnp.arange(self.max_seq, dtype=jnp.int32)[None, :]
+        kv_positions = jnp.where(slot < (lengths + 1)[:, None], slot, _FAR)
+
+        holder = {"cache": cache}
+        logits = self._forward(params, holder, ids, positions, kv_positions)
+        cache = holder["cache"]
+        cache["lengths"] = lengths + active.astype(jnp.int32)
+        return cache, logits[:, 0]
+
+    # ── public API ───────────────────────────────────────────────────────
+
+    def prefill(self, cache, ids: np.ndarray, lengths: np.ndarray,
+                slot_mask: np.ndarray | None = None):
+        """Prefill; returns (cache, last_token_logits (B, V)).
+
+        ``slot_mask`` selects which batch slots are written (default: all).
+        """
+        if slot_mask is None:
+            slot_mask = np.ones((self.max_batch,), bool)
+        return self._prefill_jit(
+            self.params, cache, jnp.asarray(ids, jnp.int32),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(slot_mask),
+        )
+
+    def decode(self, cache, tokens: np.ndarray, active: np.ndarray | None = None):
+        if active is None:
+            active = np.ones(tokens.shape, bool)
+        return self._decode_jit(
+            self.params, cache, jnp.asarray(tokens, jnp.int32), jnp.asarray(active)
+        )
+
+    def generate(
+        self,
+        prompts: list[list[int]],
+        max_new_tokens: int = 32,
+        sampling: SamplingParams = SamplingParams(),
+        eos_token_id: int | None = None,
+        rng: jax.Array | None = None,
+    ) -> list[list[int]]:
+        """Simple batched generation (one prefill + greedy/sampled decode loop)."""
+        assert len(prompts) <= self.max_batch
+        if rng is None:
+            rng = jax.random.key(0)
+        B = self.max_batch
+        lengths = np.zeros((B,), np.int32)
+        T_pad = max(max(len(p) for p in prompts), 1)
+        ids = np.zeros((B, T_pad), np.int32)
+        for i, p in enumerate(prompts):
+            ids[i, : len(p)] = p
+            lengths[i] = len(p)
+        lengths = np.maximum(lengths, 1)
+
+        cache = self.new_cache()
+        cache, logits = self.prefill(cache, ids, lengths)
+
+        outputs: list[list[int]] = [[] for _ in prompts]
+        done = np.zeros((B,), bool)
+        done[len(prompts):] = True
+        for _ in range(max_new_tokens):
+            rng, step_rng = jax.random.split(rng)
+            tokens = np.asarray(sample(logits, step_rng, sampling))
+            for i in range(len(prompts)):
+                if not done[i]:
+                    outputs[i].append(int(tokens[i]))
+                    if eos_token_id is not None and tokens[i] == eos_token_id:
+                        done[i] = True
+            if done.all():
+                break
+            cache, logits = self.decode(cache, tokens, active=~done)
+        return outputs

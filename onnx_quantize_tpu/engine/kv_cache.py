@@ -1,0 +1,99 @@
+"""KV cache with optional int8 quantization.
+
+The serving-side component the reference delegates to ORT (SURVEY.md §2B,
+"inference engine" row): static-shape per-layer K/V buffers sized
+``(L, B, S_max, H_kv, D)`` so every decode step reuses one compiled program.
+
+Int8 mode quantizes per (token, head) with a symmetric abs-max scale on write
+(``k_scale`` ``(L, B, S_max, H_kv)``) and dequantizes on read — attention math
+stays in the model dtype while the cache holds 1 byte/element + scale, a 3.5x
+HBM saving over f32 that directly lifts decode throughput (decode is
+bandwidth-bound on the cache reads).
+
+Functional: every write returns a new cache pytree (donated under jit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["KVCacheConfig", "init_cache", "write_kv", "read_kv"]
+
+
+@dataclasses.dataclass(frozen=True)
+class KVCacheConfig:
+    num_layers: int
+    batch: int
+    max_seq: int
+    num_kv_heads: int
+    head_dim: int
+    quantized: bool = False  # int8 cache
+    dtype: Any = jnp.float32
+
+
+def init_cache(cfg: KVCacheConfig) -> dict:
+    shape = (cfg.num_layers, cfg.batch, cfg.max_seq, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.quantized:
+        cache = {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+        }
+    else:
+        cache = {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+    cache["lengths"] = jnp.zeros((cfg.batch,), jnp.int32)
+    return cache
+
+
+def _quantize_sym(x):
+    """Per (token, head) symmetric int8: scale = absmax / 127."""
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def write_kv(cache: dict, layer: int, k, v, positions) -> dict:
+    """Write new K/V rows at per-sequence ``positions`` (B, T) for ``layer``.
+
+    k/v: (B, T, H_kv, D). Returns the updated cache.
+    """
+    quantized = "k_scale" in cache
+
+    def scatter(buf, rows):
+        # buf: (B, S, H, D) or (B, S, H); rows time-indexed by positions (B, T).
+        B = rows.shape[0]
+        batch_idx = jnp.arange(B)[:, None]
+        return buf.at[batch_idx, positions].set(rows)
+
+    new = dict(cache)
+    if quantized:
+        kq, ks = _quantize_sym(k)
+        vq, vs = _quantize_sym(v)
+        new["k"] = cache["k"].at[layer].set(scatter(cache["k"][layer], kq))
+        new["v"] = cache["v"].at[layer].set(scatter(cache["v"][layer], vq))
+        new["k_scale"] = cache["k_scale"].at[layer].set(
+            scatter(cache["k_scale"][layer], ks)
+        )
+        new["v_scale"] = cache["v_scale"].at[layer].set(
+            scatter(cache["v_scale"][layer], vs)
+        )
+    else:
+        new["k"] = cache["k"].at[layer].set(scatter(cache["k"][layer], k))
+        new["v"] = cache["v"].at[layer].set(scatter(cache["v"][layer], v))
+    return new
+
+
+def read_kv(cache: dict, layer: int, dtype=jnp.float32):
+    """Full (B, S_max, H, D) K/V for ``layer``, dequantized if int8."""
+    k = cache["k"][layer]
+    v = cache["v"][layer]
+    if "k_scale" in cache:
+        k = k.astype(dtype) * cache["k_scale"][layer][..., None]
+        v = v.astype(dtype) * cache["v_scale"][layer][..., None]
+    return k.astype(dtype), v.astype(dtype)

@@ -1,0 +1,229 @@
+"""Gemma-3 text model (JAX, built on the framework's module system).
+
+The flagship model family, mirroring the reference's Gemma-3-270M example
+(``/root/reference/examples/gemma3/gemma3_rtn.py:47-59``): every attention and
+MLP projection is a ``Linear`` site (MatMul, no bias) the quantizer targets;
+the tied lm_head is its own site so the planner's untying (the reference's
+DuplicateInitializersPass analogue) lets it be quantized — or ignored via the
+``ignore=["lm_head"]`` pattern the reference example uses.
+
+Architecture (Gemma-3 text): RMSNorm (1+w gain, f32), QK-norm, GQA with
+dual-theta RoPE (local layers use ``rope_local_base``), 5-local:1-global
+sliding-window attention pattern, GeGLU MLP (tanh gelu), sandwich norms around
+both attention and MLP, scaled embeddings, weight-tied lm_head.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onnx_quantize_tpu import nn
+from onnx_quantize_tpu.nn.layers import Embedding, RMSNorm, apply_rope
+from onnx_quantize_tpu.nn.module import Context, InputSpec
+
+__all__ = ["Gemma3Config", "Gemma3", "GEMMA3_270M"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Gemma3Config:
+    vocab_size: int = 262_144
+    hidden_size: int = 640
+    intermediate_size: int = 2048
+    num_layers: int = 18
+    num_heads: int = 4
+    num_kv_heads: int = 1
+    head_dim: int = 256
+    rope_theta: float = 1_000_000.0  # global layers
+    rope_local_base: float = 10_000.0  # sliding-window layers
+    sliding_window: int = 512
+    sliding_pattern: int = 6  # every Nth layer is global
+    rms_norm_eps: float = 1e-6
+    query_pre_attn_scalar: float = 256.0
+    dtype: str = "float32"
+
+    def is_global_layer(self, idx: int) -> bool:
+        return (idx + 1) % self.sliding_pattern == 0
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+GEMMA3_270M = Gemma3Config()
+
+
+def _tiny(cfg: Gemma3Config | None = None, **kw) -> Gemma3Config:
+    """A scaled-down config for tests."""
+    base = dict(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=2, num_kv_heads=1, head_dim=32, sliding_window=16,
+        sliding_pattern=2,
+    )
+    base.update(kw)
+    return Gemma3Config(**base)
+
+
+Gemma3Config.tiny = staticmethod(_tiny)
+
+
+class Gemma3Attention(nn.Module):
+    def __init__(self, cfg: Gemma3Config, layer_idx: int):
+        super().__init__()
+        self.cfg = cfg
+        self.layer_idx = layer_idx
+        self.is_global = cfg.is_global_layer(layer_idx)
+        d = cfg.hidden_size
+        dt = cfg.jnp_dtype
+        self.q_proj = nn.Linear(d, cfg.num_heads * cfg.head_dim, use_bias=False, dtype=dt)
+        self.k_proj = nn.Linear(d, cfg.num_kv_heads * cfg.head_dim, use_bias=False, dtype=dt)
+        self.v_proj = nn.Linear(d, cfg.num_kv_heads * cfg.head_dim, use_bias=False, dtype=dt)
+        self.o_proj = nn.Linear(cfg.num_heads * cfg.head_dim, d, use_bias=False, dtype=dt)
+        self.q_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps, dtype=dt)
+        self.k_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps, dtype=dt)
+
+    def _qkv(self, params, x, positions, ctx):
+        cfg = self.cfg
+        B, T, _ = x.shape
+        q = self.q_proj(params["q_proj"], x, ctx=ctx)
+        k = self.k_proj(params["k_proj"], x, ctx=ctx)
+        v = self.v_proj(params["v_proj"], x, ctx=ctx)
+        q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        q = self.q_norm(params["q_norm"], q)
+        k = self.k_norm(params["k_norm"], k)
+        base = cfg.rope_theta if self.is_global else cfg.rope_local_base
+        q = apply_rope(q, positions, base)
+        k = apply_rope(k, positions, base)
+        q = q * (cfg.query_pre_attn_scalar ** -0.5)
+        return q, k, v
+
+    def __call__(self, params, x, positions, mask, ctx: Context | None = None,
+                 kv_write=None):
+        """mask: (B, 1, T, S) additive f32 mask (0 / -inf)."""
+        cfg = self.cfg
+        B, T, _ = x.shape
+        q, k, v = self._qkv(params, x, positions, ctx)
+
+        if kv_write is not None:
+            # Engine path: merge with cached K/V (see engine/kv_cache.py).
+            k, v = kv_write(self.layer_idx, k, v)
+        S = k.shape[1]
+
+        group = cfg.num_heads // cfg.num_kv_heads
+        qg = q.reshape(B, T, cfg.num_kv_heads, group, cfg.head_dim)
+        logits = jnp.einsum("btkgh,bskh->bkgts", qg, k.astype(q.dtype))
+        logits = logits.astype(jnp.float32) + mask[:, :, None, :, :S].astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bkgts,bskh->btkgh", probs, v)
+        out = out.reshape(B, T, cfg.num_heads * cfg.head_dim)
+        return self.o_proj(params["o_proj"], out, ctx=ctx)
+
+
+class Gemma3MLP(nn.Module):
+    def __init__(self, cfg: Gemma3Config):
+        super().__init__()
+        dt = cfg.jnp_dtype
+        self.gate_proj = nn.Linear(cfg.hidden_size, cfg.intermediate_size, use_bias=False, dtype=dt)
+        self.up_proj = nn.Linear(cfg.hidden_size, cfg.intermediate_size, use_bias=False, dtype=dt)
+        self.down_proj = nn.Linear(cfg.intermediate_size, cfg.hidden_size, use_bias=False, dtype=dt)
+
+    def __call__(self, params, x, ctx: Context | None = None):
+        gate = self.gate_proj(params["gate_proj"], x, ctx=ctx)
+        up = self.up_proj(params["up_proj"], x, ctx=ctx)
+        act = jax.nn.gelu(gate, approximate=True) * up
+        return self.down_proj(params["down_proj"], act, ctx=ctx)
+
+
+class Gemma3Block(nn.Module):
+    def __init__(self, cfg: Gemma3Config, layer_idx: int):
+        super().__init__()
+        dt = cfg.jnp_dtype
+        self.attn = Gemma3Attention(cfg, layer_idx)
+        self.mlp = Gemma3MLP(cfg)
+        self.input_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt)
+        self.post_attn_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt)
+        self.pre_ffn_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt)
+        self.post_ffn_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt)
+
+    def __call__(self, params, x, positions, mask, ctx: Context | None = None,
+                 kv_write=None):
+        h = self.input_norm(params["input_norm"], x)
+        h = self.attn(params["attn"], h, positions, mask, ctx=ctx, kv_write=kv_write)
+        h = self.post_attn_norm(params["post_attn_norm"], h)
+        x = x + h
+        h = self.pre_ffn_norm(params["pre_ffn_norm"], x)
+        h = self.mlp(params["mlp"], h, ctx=ctx)
+        h = self.post_ffn_norm(params["post_ffn_norm"], h)
+        return x + h
+
+
+def make_attention_mask(cfg: Gemma3Config, positions, kv_positions, is_global: bool):
+    """Additive mask (B, 1, T, S): causal, plus sliding window on local layers."""
+    valid = kv_positions[:, None, :] <= positions[:, :, None]  # causal
+    if not is_global:
+        valid &= kv_positions[:, None, :] > positions[:, :, None] - cfg.sliding_window
+    mask = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+    return mask[:, None, :, :]
+
+
+class Gemma3(nn.Module):
+    """Full Gemma-3 causal LM. ``__call__`` returns logits (B, T, vocab)."""
+
+    def __init__(self, cfg: Gemma3Config = GEMMA3_270M):
+        super().__init__()
+        self.cfg = cfg
+        dt = cfg.jnp_dtype
+        self.embed = Embedding(cfg.vocab_size, cfg.hidden_size, dtype=dt)
+        self.blocks = []
+        for i in range(cfg.num_layers):
+            block = Gemma3Block(cfg, i)
+            setattr(self, f"layers.{i}", block)
+            self.blocks.append(block)
+        self.final_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt)
+        # The lm_head site; by default tied to the embedding at init
+        # (quantize() unties it automatically when both are quantized).
+        self.lm_head = nn.Linear(cfg.hidden_size, cfg.vocab_size, use_bias=False, dtype=dt)
+        self.input_specs = [InputSpec("input_ids", (8,), np.int32)]
+        self.finalize()
+
+    def init(self, rng: jax.Array) -> dict:
+        params = super().init(rng)
+        # Tie lm_head to the embedding (transposed view shares the buffer;
+        # untie_params copies it if both end up quantized).
+        params["lm_head"] = {"w": params["embed"]["w"].T}
+        return params
+
+    def hidden_states(self, params, input_ids, ctx=None, positions=None, kv_write=None,
+                      kv_positions=None):
+        cfg = self.cfg
+        B, T = input_ids.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+        if kv_positions is None:
+            kv_positions = positions
+
+        x = self.embed(params["embed"], input_ids) * math.sqrt(cfg.hidden_size)
+        x = x.astype(cfg.jnp_dtype)
+
+        mask_local = make_attention_mask(cfg, positions, kv_positions, is_global=False)
+        mask_global = make_attention_mask(cfg, positions, kv_positions, is_global=True)
+
+        for i, block in enumerate(self.blocks):
+            mask = mask_global if cfg.is_global_layer(i) else mask_local
+            x = block(params[f"layers.{i}"], x, positions, mask, ctx=ctx, kv_write=kv_write)
+
+        return self.final_norm(params["final_norm"], x)
+
+    def __call__(self, params, input_ids, ctx: Context | None = None, positions=None,
+                 kv_write=None, kv_positions=None):
+        x = self.hidden_states(
+            params, input_ids, ctx=ctx, positions=positions, kv_write=kv_write,
+            kv_positions=kv_positions,
+        )
+        return self.lm_head(params["lm_head"], x, ctx=ctx)

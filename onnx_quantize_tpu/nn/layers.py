@@ -1,0 +1,67 @@
+"""Non-linear-site layers used by the model zoo (embedding, norms, rotary)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from onnx_quantize_tpu.nn.module import Context, Module
+
+__all__ = ["Embedding", "RMSNorm", "apply_rope"]
+
+
+class Embedding(Module):
+    """Token embedding (a Gather — not a quantizable matmul site, matching the
+    reference's MatMul/Gemm-only targeting)."""
+
+    def __init__(self, vocab_size: int, features: int, dtype=jnp.float32):
+        super().__init__()
+        self.vocab_size = vocab_size
+        self.features = features
+        self.dtype = dtype
+
+    def init(self, rng: jax.Array) -> dict:
+        w = jax.random.normal(rng, (self.vocab_size, self.features)) * 0.02
+        return {"w": w.astype(self.dtype)}
+
+    def __call__(self, params, ids, ctx: Context | None = None):
+        return jnp.take(params["w"], ids, axis=0)
+
+
+class RMSNorm(Module):
+    """Gemma-style RMSNorm: f32 accumulation, ``(1 + w)`` gain."""
+
+    def __init__(self, features: int, eps: float = 1e-6, dtype=jnp.float32):
+        super().__init__()
+        self.features = features
+        self.eps = eps
+        self.dtype = dtype
+
+    def init(self, rng: jax.Array) -> dict:
+        return {"w": jnp.zeros((self.features,), dtype=self.dtype)}
+
+    def __call__(self, params, x, ctx: Context | None = None):
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        normed = x32 * jax.lax.rsqrt(var + self.eps)
+        out = normed * (1.0 + params["w"].astype(jnp.float32))
+        return out.astype(x.dtype)
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, base: float) -> jnp.ndarray:
+    """Rotary position embedding, neox rotate-half convention.
+
+    x: (B, T, num_heads, head_dim); positions: (B, T).
+    """
+    head_dim = x.shape[-1]
+    half = head_dim // 2
+    freq_exponents = jnp.arange(half, dtype=jnp.float32) * (2.0 / head_dim)
+    inv_freq = 1.0 / (base ** freq_exponents)  # (half,)
+    angles = positions[..., None].astype(jnp.float32) * inv_freq[None, None, :]
+    cos = jnp.cos(angles)[:, :, None, :]  # (B, T, 1, half)
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)

@@ -37,20 +37,23 @@ def _w4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, signed, n_pair
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[:]
-    low = (w & 0x0F).astype(jnp.uint8)
-    high = ((w >> 4) & 0x0F).astype(jnp.uint8)
+    # Nibble unpack in registers. Mosaic lacks a direct u8->f32 cast, so go
+    # through int32.
+    w = w_ref[:].astype(jnp.int32)
+    low_s = w & 0x0F
+    high_s = (w >> 4) & 0x0F
     if signed:
-        low_s = low.astype(jnp.int32)
-        high_s = high.astype(jnp.int32)
         low_f = jnp.where(low_s > 7, low_s - 16, low_s).astype(jnp.float32)
         high_f = jnp.where(high_s > 7, high_s - 16, high_s).astype(jnp.float32)
     else:
-        low_f = low.astype(jnp.float32)
-        high_f = high.astype(jnp.float32)
+        low_f = low_s.astype(jnp.float32)
+        high_f = high_s.astype(jnp.float32)
 
-    dq_low = ((low_f - z_ref[0:1, :]) * s_ref[0:1, :]).astype(compute_dtype)
-    dq_high = ((high_f - z_ref[1:2, :]) * s_ref[1:2, :]).astype(compute_dtype)
+    # Scale/zp rows for groups 2k and 2k+1. Scales arrive as (G/2, 2, N)
+    # blocked (1, 2, bn) so the pair is selected by the grid index — Mosaic
+    # cannot prove sublane alignment for an in-kernel dynamic 2k row slice.
+    dq_low = ((low_f - z_ref[0, 0:1, :]) * s_ref[0, 0:1, :]).astype(compute_dtype)
+    dq_high = ((high_f - z_ref[0, 1:2, :]) * s_ref[0, 1:2, :]).astype(compute_dtype)
 
     x = x_ref[:]
     acc_ref[:] += jnp.dot(
@@ -91,8 +94,8 @@ def _w4_call(x2d, data, scales, zps, *, gs, signed, bm, bn, interpret, out_dtype
         in_specs=[
             pl.BlockSpec((bm, 2 * gs), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((gs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
@@ -155,6 +158,8 @@ def w4_dequant_matmul(x, qt: QTensor, *, interpret: bool | None = None):
     bn = 256 if N % 256 == 0 else (128 if N % 128 == 0 else N)
 
     scales, zps = _expand_scales(qt, G_pad, N)
+    scales = scales.reshape(G_pad // 2, 2, N)
+    zps = zps.reshape(G_pad // 2, 2, N)
     out = _w4_call(
         x2d, jnp.asarray(qt.data), scales, zps,
         gs=gs, signed=qt.meta.qt.is_signed, bm=bm, bn=bn,
@@ -168,8 +173,12 @@ def _w4_predicate(x, qt: QTensor, bias) -> bool:
         return False
     gs = qt.meta.pack_group
     K, N = qt.meta.shape
-    # Sublane-tileable group rows and lane-tileable N.
-    return gs % 8 == 0 and N % 128 == 0
+    if not (gs % 8 == 0 and N % 128 == 0):
+        return False
+    if jax.default_backend() == "tpu":
+        # Compiled lowering needs the x lane-block (2*gs) to be a 128-multiple.
+        return gs % 64 == 0
+    return True
 
 
 @register_kernel(_w4_predicate)

@@ -31,9 +31,12 @@ def _w8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k, compute_dtype
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    dq = ((w_ref[:].astype(jnp.float32) - z_ref[0:1, :]) * s_ref[0:1, :]).astype(
-        compute_dtype
-    )
+    # Scale row for this K tile arrives as a (1, 1, bn) block of (n_k, 1, N).
+    # int32 intermediate: Mosaic lacks a direct u8->f32 cast for uint8 weights.
+    dq = (
+        (w_ref[:].astype(jnp.int32).astype(jnp.float32) - z_ref[0, 0:1, :])
+        * s_ref[0, 0:1, :]
+    ).astype(compute_dtype)
     acc_ref[:] += jnp.dot(x_ref[:], dq, preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
@@ -62,8 +65,8 @@ def _w8_call(x2d, data, scale_rows, zp_rows, *, bm, bn, bk, interpret, out_dtype
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
@@ -127,6 +130,8 @@ def w8_dequant_matmul(x, qt: QTensor, *, interpret: bool | None = None):
     bn = 256 if N % 256 == 0 else (128 if N % 128 == 0 else N)
 
     scale_rows, zp_rows = _scale_rows_for(qt, bk, K_pad, N)
+    scale_rows = scale_rows.reshape(-1, 1, N)
+    zp_rows = zp_rows.reshape(-1, 1, N)
     out = _w8_call(
         x2d, data, scale_rows, zp_rows,
         bm=bm, bn=bn, bk=bk, interpret=interpret, out_dtype=jnp.float32,
@@ -142,6 +147,11 @@ def _w8_predicate(x, qt: QTensor, bias) -> bool:
     K, N = qt.meta.shape
     if N % 128 != 0:
         return False
+    if jax.default_backend() == "tpu":
+        if qt.meta.strat == QuantizationStrategy.GROUP:
+            # bk == group size; the compiled lowering needs lane-tileable bk.
+            return qt.meta.group_size % 128 == 0
+        return K % 128 == 0 or K <= 512
     if qt.meta.strat == QuantizationStrategy.GROUP:
         return qt.meta.group_size % 8 == 0
     return True

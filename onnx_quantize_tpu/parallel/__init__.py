@@ -1,0 +1,15 @@
+from onnx_quantize_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+from onnx_quantize_tpu.parallel.sharding import (
+    GEMMA3_TP_RULES,
+    qtensor_shardings,
+    shard_params,
+)
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "GEMMA3_TP_RULES",
+    "qtensor_shardings",
+    "shard_params",
+]
