@@ -1,0 +1,124 @@
+"""Headline benchmark: Gemma-3-270M W4(g128) decode throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The measurement is the serving configuration from BASELINE.json config 4/5:
+Gemma-3-270M, weights INT4 group-128 (RTN; fused Pallas dequant-matmul
+kernels), int8 KV cache, batched greedy decode through the engine.
+``vs_baseline`` is the speedup over the same engine running fp32 weights —
+the reference publishes no throughput numbers (BASELINE.md), so fp32-on-TPU is
+the baseline the quantized path must beat.
+
+Runs on whatever accelerator jax exposes (the driver runs it on one TPU v5e
+chip); falls back to a tiny config on CPU so the script always emits a line.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+
+import numpy as np
+
+
+def _build(model_cfg, quantized: bool, cpu_device):
+    import jax
+
+    import onnx_quantize_tpu as oqt
+    from onnx_quantize_tpu.models.gemma3 import Gemma3
+
+    model = Gemma3(model_cfg)
+    with jax.default_device(cpu_device):
+        params = model.init(jax.random.key(0))
+        if quantized:
+            qconfig = oqt.QConfig(
+                weights=oqt.QWeightArgs(dtype="uint4", group_size=128),
+                ignore=["lm_head"],
+            )
+            params, _ = oqt.quantize(model, params, qconfig)
+    return model, params
+
+
+def _decode_tput(model, params, device, batch=8, prompt_len=128, steps=64,
+                 kv_quant=True, max_seq=512):
+    import jax
+    import jax.tree_util as jtu
+
+    from onnx_quantize_tpu.engine import InferenceEngine
+
+    params = jtu.tree_map(lambda a: jax.device_put(a, device), params)
+    engine = InferenceEngine(
+        model, params, max_batch=batch, max_seq=max_seq, kv_quant=kv_quant
+    )
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, model.cfg.vocab_size, size=(batch, prompt_len)).astype(np.int32)
+    lengths = np.full((batch,), prompt_len, np.int32)
+
+    cache = engine.new_cache()
+    cache, logits = engine.prefill(cache, ids, lengths)
+    tokens = np.asarray(np.argmax(logits, axis=-1), np.int32)
+
+    # Warm the decode program.
+    cache, logits = engine.decode(cache, tokens)
+    tokens = np.asarray(np.argmax(logits, axis=-1), np.int32)
+
+    t0 = time.time()
+    for _ in range(steps):
+        cache, logits = engine.decode(cache, tokens)
+        tokens = np.asarray(np.argmax(logits, axis=-1), np.int32)
+    jax.block_until_ready(logits)
+    dt = time.time() - t0
+    return batch * steps / dt
+
+
+def main():
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = jax.devices()[0]
+    device = jax.devices()[0]
+    on_accel = device.platform != "cpu"
+
+    from onnx_quantize_tpu.models.gemma3 import GEMMA3_270M, Gemma3Config
+
+    if on_accel:
+        cfg = GEMMA3_270M
+        batch, prompt_len, steps, max_seq = 8, 128, 64, 512
+    else:
+        cfg = Gemma3Config.tiny(
+            hidden_size=128, intermediate_size=256, num_layers=2, num_heads=2,
+            num_kv_heads=2, head_dim=64, vocab_size=512,
+        )
+        batch, prompt_len, steps, max_seq = 2, 16, 8, 64
+
+    model_q, params_q = _build(cfg, quantized=True, cpu_device=cpu)
+    tput_q = _decode_tput(
+        model_q, params_q, device, batch=batch, prompt_len=prompt_len,
+        steps=steps, max_seq=max_seq,
+    )
+
+    model_f, params_f = _build(cfg, quantized=False, cpu_device=cpu)
+    tput_f = _decode_tput(
+        model_f, params_f, device, batch=batch, prompt_len=prompt_len,
+        steps=steps, kv_quant=False, max_seq=max_seq,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "gemma3_270m_w4g128_decode_tokens_per_sec_per_chip",
+                "value": round(tput_q, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(tput_q / tput_f, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -161,9 +161,16 @@ def _pack_group_pairs(q: np.ndarray, gs: int, n_groups_pad: int) -> np.ndarray:
 
     Packed row ``p*gs + r`` holds logical row ``(2p)*gs + r`` in the low
     nibble and ``(2p+1)*gs + r`` in the high nibble. Logical rows past K are
-    zero padding.
+    zero padding. Large tensors route through the native C++ library when it
+    is available (checkpoint-load hot path).
     """
     K, N = q.shape
+    if K * N >= 1 << 22:  # ~4M elements: worth the native call
+        from onnx_quantize_tpu import native
+
+        packed = native.pack_group_pairs(np.asarray(q, dtype=np.int8), gs, n_groups_pad)
+        if packed is not None:
+            return packed
     K_pad = n_groups_pad * gs
     u = q.astype(np.int32)
     u = np.where(u < 0, u + 16, u).astype(np.uint8)
