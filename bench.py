@@ -34,24 +34,34 @@ def _build(model_cfg, quantized: bool, cpu_device):
     with jax.default_device(cpu_device):
         params = model.init(jax.random.key(0))
         if quantized:
+            # Transformer projections: W4 group-128. The lm_head (the decode
+            # bandwidth hog at 262k vocab) gets int8 per-channel in a second
+            # pass — per-site config mixing via ignore patterns.
             qconfig = oqt.QConfig(
                 weights=oqt.QWeightArgs(dtype="uint4", group_size=128),
                 ignore=["lm_head"],
             )
             params, _ = oqt.quantize(model, params, qconfig)
+            head_cfg = oqt.QConfig(
+                weights=oqt.QWeightArgs(dtype="int8", group_size=-1, symmetric=True),
+                ignore=[r"^layers\."],
+            )
+            params, _ = oqt.quantize(model, params, head_cfg)
     return model, params
 
 
 def _decode_tput(model, params, device, batch=8, prompt_len=128, steps=64,
                  kv_quant=True, max_seq=512):
     import jax
+    import jax.numpy as jnp
     import jax.tree_util as jtu
 
     from onnx_quantize_tpu.engine import InferenceEngine
 
     params = jtu.tree_map(lambda a: jax.device_put(a, device), params)
     engine = InferenceEngine(
-        model, params, max_batch=batch, max_seq=max_seq, kv_quant=kv_quant
+        model, params, max_batch=batch, max_seq=max_seq, kv_quant=kv_quant,
+        dtype=model.cfg.jnp_dtype if model.cfg.dtype != "float32" else jnp.float32,
     )
     rng = np.random.default_rng(0)
     ids = rng.integers(1, model.cfg.vocab_size, size=(batch, prompt_len)).astype(np.int32)
@@ -86,8 +96,10 @@ def main():
 
     from onnx_quantize_tpu.models.gemma3 import GEMMA3_270M, Gemma3Config
 
+    import dataclasses
+
     if on_accel:
-        cfg = GEMMA3_270M
+        cfg = dataclasses.replace(GEMMA3_270M, dtype="bfloat16")
         batch, prompt_len, steps, max_seq = 8, 128, 64, 512
     else:
         cfg = Gemma3Config.tiny(
