@@ -16,7 +16,45 @@ import jax
 from onnx_quantize_tpu.nn.qtensor import QTensor
 from onnx_quantize_tpu.ops.reference import quantized_matmul_jnp
 
-__all__ = ["quantized_matmul", "set_impl", "get_impl"]
+__all__ = ["quantized_matmul", "set_impl", "get_impl", "convert_to_w4a8"]
+
+
+def convert_to_w4a8(params):
+    """Switch packed 4-bit weights-only QTensors to the W4A8 execution mode.
+
+    Sets ``input_quant`` to dynamic symmetric int8 so the s8xs8 MXU kernel
+    picks the site up. This is a TPU-side capability extension beyond the
+    reference (whose config layer restricts 4-bit to weights-only,
+    ``_qconfig.py:482-485``): the artifact is unchanged, only the execution
+    spec differs. Skips HQQ weights (float zero points cannot center in int8).
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from onnx_quantize_tpu.nn.qtensor import ActQuantSpec
+
+    def visit(tree):
+        if isinstance(tree, dict):
+            return {k: visit(v) for k, v in tree.items()}
+        if (
+            isinstance(tree, QTensor)
+            and tree.meta.packed
+            and tree.meta.input_quant.mode == "none"
+            and not jnp.issubdtype(tree.zero_point.dtype, jnp.floating)
+        ):
+            meta = dataclasses.replace(
+                tree.meta,
+                input_quant=ActQuantSpec(mode="dynamic", dtype="int8", symmetric=True),
+            )
+            return QTensor(
+                tree.data, tree.scale, tree.zero_point, meta,
+                tree.input_scale, tree.input_zero_point,
+                tree.output_scale, tree.output_zero_point,
+            )
+        return tree
+
+    return visit(params)
 
 _IMPL = "auto"
 

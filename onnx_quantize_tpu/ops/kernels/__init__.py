@@ -31,5 +31,11 @@ def select_kernel(x, qt: QTensor, bias):
     return None
 
 
-# Import kernel modules so they register (guarded: pallas requires TPU/CPU-interpret).
-from onnx_quantize_tpu.ops.kernels import matmul_w4, matmul_w8, matmul_q8  # noqa: E402,F401
+# Import kernel modules so they register. Order matters: the W4A8 predicate is
+# a strict subset of W4's, so it must register first.
+from onnx_quantize_tpu.ops.kernels import (  # noqa: E402,F401
+    matmul_w4a8,
+    matmul_w4,
+    matmul_w8,
+    matmul_q8,
+)

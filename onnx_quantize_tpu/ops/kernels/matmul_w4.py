@@ -155,7 +155,16 @@ def w4_dequant_matmul(x, qt: QTensor, *, interpret: bool | None = None):
 
     bm = min(256, max(8, M))
     x2d = _pad_axis(x2d, 0, bm)
-    bn = 256 if N % 256 == 0 else (128 if N % 128 == 0 else N)
+    # Large-N tiles keep small-M (decode) shapes from being grid-bound.
+    budget = 12 * 1024 * 1024
+    bn = 128
+    for cand in (2048, 1024, 512, 256, 128):
+        if N % cand != 0:
+            continue
+        step_bytes = gs * cand * 9 + bm * 2 * gs * 4 + 2 * bm * cand * 4
+        if step_bytes <= budget:
+            bn = cand
+            break
 
     scales, zps = _expand_scales(qt, G_pad, N)
     scales = scales.reshape(G_pad // 2, 2, N)

@@ -1,0 +1,184 @@
+"""W4A8 kernel: 4-bit grouped weights x dynamically-quantized int8 activations.
+
+The BASELINE.json north-star configuration (Gemma-3 W4A8 group-128). The
+activation is quantized per-tensor symmetric int8 by a jnp prologue (fused by
+XLA); inside the kernel each packed group-pair tile unpacks to *centered* int8
+weights ``(w - zp) in [-15, 15]`` so the MXU runs s8 x s8 -> int32 at twice the
+bf16 rate, and the int32 per-group partial is requantized into the f32
+accumulator with one ``x_scale * w_scale_g`` row multiply — the dequant cost
+drops from O(gs*bn) elementwise per tile (W4 fp path) to O(bm*bn) per group.
+
+This is a capability extension over the reference (whose validators restrict
+4-bit to weights-only, ``_qconfig.py:482-485``); enable it on quantized params
+with :func:`onnx_quantize_tpu.ops.convert_to_w4a8`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from onnx_quantize_tpu.core.enums import QFormat
+from onnx_quantize_tpu.nn.qtensor import QTensor
+from onnx_quantize_tpu.ops.kernels import register_kernel
+
+__all__ = ["w4a8_matmul"]
+
+
+def _w4a8_kernel(sx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                 gs, signed, n_pairs):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[:].astype(jnp.int32)
+    low = w & 0x0F
+    high = (w >> 4) & 0x0F
+    if signed:
+        low = jnp.where(low > 7, low - 16, low)
+        high = jnp.where(high > 7, high - 16, high)
+    # Center by the (integer-valued) zero point: range [-15, 15] fits int8.
+    low_c = (low - z_ref[0, 0:1, :].astype(jnp.int32)).astype(jnp.int8)
+    high_c = (high - z_ref[0, 1:2, :].astype(jnp.int32)).astype(jnp.int8)
+
+    x = x_ref[:]
+    acc_low = jax.lax.dot_general(
+        x[:, :gs], low_c, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    acc_high = jax.lax.dot_general(
+        x[:, gs:], high_c, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    sx = sx_ref[0, 0]
+    acc_ref[:] += (
+        acc_low.astype(jnp.float32) * (sx * s_ref[0, 0:1, :])
+        + acc_high.astype(jnp.float32) * (sx * s_ref[0, 1:2, :])
+    )
+
+    @pl.when(k == n_pairs - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _pad_axis(a, axis, to):
+    pad = (-a.shape[axis]) % to
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gs", "signed", "bm", "bn", "interpret")
+)
+def _w4a8_call(sx, x_q, data, scales, zps, *, gs, signed, bm, bn, interpret):
+    M, K_pad = x_q.shape
+    half_rows, N = data.shape
+    n_pairs = half_rows // gs
+    kernel = functools.partial(_w4a8_kernel, gs=gs, signed=signed, n_pairs=n_pairs)
+    return pl.pallas_call(
+        kernel,
+        grid=(M // bm, N // bn, n_pairs),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, 2 * gs), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * 2 * half_rows * N,
+            bytes_accessed=M * K_pad + half_rows * N + M * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(sx, x_q, data, scales, zps)
+
+
+def quantize_activation_int8(x):
+    """Per-tensor symmetric int8: returns (x_q, scale). Fused by XLA."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return x_q, scale.astype(jnp.float32)
+
+
+def w4a8_matmul(x, qt: QTensor, *, interpret: bool | None = None):
+    """Dynamic-A8 x W4 matmul: ``quant(x) @ centered_int8(unpack(qt))``."""
+    K, N = qt.meta.shape
+    gs = qt.meta.pack_group
+    half_rows = qt.data.shape[0]
+    K_pad = 2 * half_rows
+    G_pad = K_pad // gs
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    batch_shape = x.shape[:-1]
+    M = int(np.prod(batch_shape)) if batch_shape else 1
+    x2d = x.reshape(M, K)
+    x_q, sx = quantize_activation_int8(x2d)
+    if K_pad != K:
+        x_q = _pad_axis(x_q, 1, K_pad)
+
+    bm = min(256, max(8, M))
+    x_q = _pad_axis(x_q, 0, bm)
+    budget = 12 * 1024 * 1024
+    bn = 128
+    for cand in (2048, 1024, 512, 256, 128):
+        if N % cand != 0:
+            continue
+        if gs * cand * 3 + bm * 2 * gs + 2 * bm * cand * 4 <= budget:
+            bn = cand
+            break
+
+    from onnx_quantize_tpu.ops.kernels.matmul_w4 import _expand_scales
+
+    scales, zps = _expand_scales(qt, G_pad, N)
+    scales = scales.reshape(G_pad // 2, 2, N)
+    zps = zps.reshape(G_pad // 2, 2, N)
+
+    out = _w4a8_call(
+        sx.reshape(1, 1), x_q, jnp.asarray(qt.data), scales, zps,
+        gs=gs, signed=qt.meta.qt.is_signed, bm=bm, bn=bn, interpret=interpret,
+    )
+    return out[:M].reshape(*batch_shape, N)
+
+
+def _w4a8_predicate(x, qt: QTensor, bias) -> bool:
+    if not qt.meta.packed or qt.meta.fmt != QFormat.QDQ:
+        return False
+    spec = qt.meta.input_quant
+    if not (spec.mode == "dynamic" and spec.dtype == "int8" and spec.symmetric):
+        return False
+    # Integer zero points only (HQQ's float zp cannot be centered in int8).
+    if jnp.issubdtype(qt.zero_point.dtype, jnp.floating):
+        return False
+    gs = qt.meta.pack_group
+    K, N = qt.meta.shape
+    if not (gs % 8 == 0 and N % 128 == 0):
+        return False
+    if jax.default_backend() == "tpu":
+        return gs % 64 == 0
+    return True
+
+
+@register_kernel(_w4a8_predicate)
+def _w4a8_kernel_entry(x, qt: QTensor, bias):
+    from onnx_quantize_tpu.ops.reference import qdq_epilogue
+
+    y = w4a8_matmul(x, qt)
+    return qdq_epilogue(y, qt, bias)

@@ -113,6 +113,9 @@ def w8_dequant_matmul(x, qt: QTensor, *, interpret: bool | None = None):
     strat = qt.meta.strat
     if strat == QuantizationStrategy.GROUP:
         bk = qt.meta.group_size
+    elif K <= 4096 and K % 8 == 0:
+        # One K step: fewer grid iterations; the whole K panel fits VMEM.
+        bk = K
     else:
         bk = 512 if K % 512 == 0 else (128 if K % 128 == 0 else K)
 
@@ -127,7 +130,17 @@ def w8_dequant_matmul(x, qt: QTensor, *, interpret: bool | None = None):
 
     bm = min(256, max(8, M))
     x2d = _pad_axis(x2d, 0, bm)
-    bn = 256 if N % 256 == 0 else (128 if N % 128 == 0 else N)
+    # Tile N as large as the VMEM budget allows — decode shapes (tiny M, huge
+    # N like the 262k lm_head) are grid-overhead-bound at small bn.
+    budget = 12 * 1024 * 1024
+    bn = 128
+    for cand in (2048, 1024, 512, 256, 128):
+        if N % cand != 0:
+            continue
+        step_bytes = bk * cand * 5 + bm * bk * 4 + 2 * bm * cand * 4
+        if step_bytes <= budget:
+            bn = cand
+            break
 
     scale_rows, zp_rows = _scale_rows_for(qt, bk, K_pad, N)
     scale_rows = scale_rows.reshape(-1, 1, N)
