@@ -1,0 +1,133 @@
+"""Kernel benchmark + roofline accounting harness.
+
+The profiling deliverable from SURVEY.md §5 ("tracing/profiling"): measures a
+quantized matmul config with in-jit repetition (sequential data dependency so
+XLA cannot hoist the work), and reports achieved TFLOP/s, HBM GB/s, and the
+percent-of-roofline implied by the configured chip peaks.
+
+Peaks default to TPU v5e (bf16 197 TFLOP/s, int8 394 TOP/s, HBM 819 GB/s);
+override for other chips. Usage:
+
+    python -m onnx_quantize_tpu.tools.benchmark --kernel w4 --m 1024 --k 2048 --n 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ChipSpec", "bench_fn", "bench_quantized_matmul", "V5E"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ChipSpec:
+    name: str
+    peak_bf16_tflops: float
+    peak_int8_tops: float
+    hbm_gbps: float
+
+
+V5E = ChipSpec(name="v5e", peak_bf16_tflops=197.0, peak_int8_tops=394.0, hbm_gbps=819.0)
+
+
+def bench_fn(fn, x, iters: int = 50) -> float:
+    """Seconds per call, measured inside one jit with a sequential chain."""
+
+    @jax.jit
+    def loop(x0):
+        def body(i, carry):
+            y = fn(x0 + carry * 1e-30)
+            return jnp.sum(y) * 0.0 + carry
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    loop(x).block_until_ready()
+    t = time.time()
+    loop(x).block_until_ready()
+    return (time.time() - t) / iters
+
+
+def bench_quantized_matmul(qt, M: int, *, chip: ChipSpec = V5E, iters: int = 50,
+                           dtype=jnp.bfloat16, impl: str = "pallas") -> dict:
+    """Benchmark one QTensor matmul; returns the measurement + roofline %."""
+    from onnx_quantize_tpu.ops.dispatch import quantized_matmul_pallas
+    from onnx_quantize_tpu.ops.reference import quantized_matmul_jnp
+
+    K, N = qt.meta.shape
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((M, K)), dtype=dtype)
+
+    call = quantized_matmul_pallas if impl == "pallas" else quantized_matmul_jnp
+    sec = bench_fn(lambda a: call(a, qt, None), x, iters=iters)
+
+    flops = 2 * M * K * N
+    weight_bytes = int(np.asarray(qt.data).nbytes + np.asarray(qt.scale).nbytes)
+    bytes_accessed = weight_bytes + x.nbytes + M * N * 4
+    tflops = flops / sec / 1e12
+    gbps = bytes_accessed / sec / 1e9
+
+    # Roofline: compute-bound ceiling vs bandwidth-bound ceiling.
+    compute_ceiling = flops / (chip.peak_bf16_tflops * 1e12)
+    memory_ceiling = bytes_accessed / (chip.hbm_gbps * 1e9)
+    ceiling_sec = max(compute_ceiling, memory_ceiling)
+    return {
+        "shape": f"{M}x{K}x{N}",
+        "quant": f"{qt.meta.quant_type}/{qt.meta.strategy}/g{qt.meta.group_size}",
+        "time_us": round(sec * 1e6, 1),
+        "tflops": round(tflops, 2),
+        "hbm_gbps": round(gbps, 1),
+        "bound": "compute" if compute_ceiling >= memory_ceiling else "memory",
+        "pct_roofline": round(100 * ceiling_sec / sec, 1),
+        "chip": chip.name,
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--kernel", choices=["w4", "w8", "w4a8"], default="w4")
+    parser.add_argument("--m", type=int, default=1024)
+    parser.add_argument("--k", type=int, default=2048)
+    parser.add_argument("--n", type=int, default=2048)
+    parser.add_argument("--group-size", type=int, default=128)
+    parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--impl", choices=["pallas", "jnp"], default="pallas")
+    args = parser.parse_args()
+
+    from onnx_quantize_tpu.algorithms.rtn import rtn_quantize
+    from onnx_quantize_tpu.core.dtypes import QuantType
+    from onnx_quantize_tpu.core.enums import QuantizationStrategy
+    from onnx_quantize_tpu.nn.qtensor import ActQuantSpec, make_qtensor
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        rng = np.random.default_rng(0)
+        w = (0.1 * rng.standard_normal((args.k, args.n))).astype(np.float32)
+        qt_type = QuantType.QUInt4 if args.kernel in ("w4", "w4a8") else QuantType.QInt8
+        q, s, zp = rtn_quantize(
+            w, qt_type, QuantizationStrategy.GROUP, args.group_size, False, False
+        )
+        extra = {}
+        if args.kernel == "w4a8":
+            extra["input_quant"] = ActQuantSpec(mode="dynamic", dtype="int8", symmetric=True)
+        qt = make_qtensor(
+            q, s, zp, quant_type=qt_type, strategy=QuantizationStrategy.GROUP,
+            group_size=args.group_size, symmetric=False, reduce_range=False, **extra,
+        )
+    import jax.tree_util as jtu
+
+    qt = jtu.tree_map(lambda a: jax.device_put(a, jax.devices()[0]), qt)
+    result = bench_quantized_matmul(qt, args.m, iters=args.iters, impl=args.impl)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
