@@ -71,15 +71,15 @@ def _decode_tput(model, params, device, batch=8, prompt_len=128, steps=64,
     cache, logits = engine.prefill(cache, ids, lengths)
     tokens = np.asarray(np.argmax(logits, axis=-1), np.int32)
 
-    # Warm the decode program.
-    cache, logits = engine.decode(cache, tokens)
-    tokens = np.asarray(np.argmax(logits, axis=-1), np.int32)
+    # Warm the multi-step decode program (the serving loop: lax.scan'd steps,
+    # no per-token host dispatch).
+    cache, generated = engine.decode_multi(cache, tokens, steps=steps)
+    jax.block_until_ready(generated)
+    tokens = np.asarray(generated)[:, -1]
 
     t0 = time.time()
-    for _ in range(steps):
-        cache, logits = engine.decode(cache, tokens)
-        tokens = np.asarray(np.argmax(logits, axis=-1), np.int32)
-    jax.block_until_ready(logits)
+    cache, generated = engine.decode_multi(cache, tokens, steps=steps)
+    jax.block_until_ready(generated)
     dt = time.time() - t0
     return batch * steps / dt
 

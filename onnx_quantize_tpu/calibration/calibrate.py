@@ -144,10 +144,16 @@ def collect_activations(
         model(p, *inputs, ctx=ctx)
         return ctx.taps
 
+    try:
+        from tqdm import tqdm
+    except ImportError:  # pragma: no cover
+        def tqdm(x, **kw):
+            return x
+
     with jax.default_device(jax.devices(platform)[0]):
         jit_fwd = jax.jit(fwd)
         activations = []
-        for i in range(num_batches):
+        for i in tqdm(range(num_batches), desc="Calibrating"):
             feeds = [jnp.asarray(batched[name][i]) for name in input_order]
             taps = jax.device_get(jit_fwd(params, *feeds))
             activations.append(taps)

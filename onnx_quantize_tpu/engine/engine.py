@@ -58,6 +58,9 @@ class InferenceEngine:
         )
         self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
         self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
+        self._decode_multi_jit = jax.jit(
+            self._decode_multi_impl, donate_argnums=(1,), static_argnums=(4,)
+        )
 
     def new_cache(self) -> dict:
         return init_cache(self.cache_cfg)
@@ -116,6 +119,22 @@ class InferenceEngine:
         cache["lengths"] = lengths + active.astype(jnp.int32)
         return cache, logits[:, 0]
 
+    def _decode_multi_impl(self, params, cache, tokens, active, steps: int):
+        """``steps`` greedy decode iterations inside one program (lax.scan).
+
+        Amortizes per-step host dispatch — the decisive factor on runtimes
+        with high launch latency. Returns (cache, tokens (B, steps)).
+        """
+
+        def step(carry, _):
+            cache, toks = carry
+            cache, logits = self._decode_impl(params, cache, toks, active)
+            next_toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (cache, next_toks), next_toks
+
+        (cache, _), out = jax.lax.scan(step, (cache, tokens), None, length=steps)
+        return cache, out.T  # (B, steps)
+
     # ── public API ───────────────────────────────────────────────────────
 
     def prefill(self, cache, ids: np.ndarray, lengths: np.ndarray,
@@ -136,6 +155,19 @@ class InferenceEngine:
             active = np.ones(tokens.shape, bool)
         return self._decode_jit(
             self.params, cache, jnp.asarray(tokens, jnp.int32), jnp.asarray(active)
+        )
+
+    def decode_multi(self, cache, tokens: np.ndarray, steps: int,
+                     active: np.ndarray | None = None):
+        """Greedy-decode ``steps`` tokens in one device program.
+
+        Returns (cache, generated (B, steps) int32).
+        """
+        if active is None:
+            active = np.ones(tokens.shape, bool)
+        return self._decode_multi_jit(
+            self.params, cache, jnp.asarray(tokens, jnp.int32),
+            jnp.asarray(active), steps,
         )
 
     def generate(

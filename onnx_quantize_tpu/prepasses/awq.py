@@ -184,8 +184,14 @@ class AwqPass:
         return True
 
     def __call__(self, model, params: dict, plan: QuantPlan, qconfig: QConfig) -> bool:
+        try:
+            from tqdm import tqdm
+        except ImportError:  # pragma: no cover
+            def tqdm(x, **kw):
+                return x
+
         modified = False
-        for entry in plan:
+        for entry in tqdm(list(plan), desc="AWQ Pass", unit="site"):
             modified |= self._apply_awq(entry, params)
             if self.clip_search:
                 modified |= self._apply_awq_clip(entry, params)
