@@ -86,6 +86,17 @@ class Gemma3Attention(nn.Module):
         self.q_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps, dtype=dt)
         self.k_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps, dtype=dt)
 
+    def _flash_ok(self, use_flash, T: int) -> bool:
+        if use_flash is False:
+            return False
+        tileable = T % 16 == 0 and self.cfg.head_dim % 16 == 0
+        if use_flash is True:
+            return tileable
+        # "auto": only where the blockwise kernel clearly pays off.
+        import jax
+
+        return tileable and T >= 512 and jax.default_backend() == "tpu"
+
     def _qkv(self, params, x, positions, ctx):
         cfg = self.cfg
         B, T, _ = x.shape
@@ -104,7 +115,7 @@ class Gemma3Attention(nn.Module):
         return q, k, v
 
     def __call__(self, params, x, positions, mask, ctx: Context | None = None,
-                 kv_write=None):
+                 kv_write=None, use_flash: bool | str = "auto"):
         """mask: (B, 1, T, S) additive f32 mask (0 / -inf)."""
         cfg = self.cfg
         B, T, _ = x.shape
@@ -113,6 +124,19 @@ class Gemma3Attention(nn.Module):
         if kv_write is not None:
             # Engine path: merge with cached K/V (see engine/kv_cache.py).
             k, v = kv_write(self.layer_idx, k, v)
+        elif self._flash_ok(use_flash, T):
+            # Full-sequence (prefill / perplexity) path: blockwise attention,
+            # no (T, S) score matrix in HBM. The mask is reconstructed from
+            # the causal + sliding-window structure inside the kernel.
+            from onnx_quantize_tpu.ops.kernels.flash_attention import flash_attention
+
+            out = flash_attention(
+                q, k, v,
+                causal=True,
+                sliding_window=None if self.is_global else cfg.sliding_window,
+            )
+            out = out.reshape(B, T, cfg.num_heads * cfg.head_dim)
+            return self.o_proj(params["o_proj"], out, ctx=ctx)
         S = k.shape[1]
 
         group = cfg.num_heads // cfg.num_kv_heads
@@ -152,9 +176,10 @@ class Gemma3Block(nn.Module):
         self.post_ffn_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt)
 
     def __call__(self, params, x, positions, mask, ctx: Context | None = None,
-                 kv_write=None):
+                 kv_write=None, use_flash: bool | str = "auto"):
         h = self.input_norm(params["input_norm"], x)
-        h = self.attn(params["attn"], h, positions, mask, ctx=ctx, kv_write=kv_write)
+        h = self.attn(params["attn"], h, positions, mask, ctx=ctx, kv_write=kv_write,
+                      use_flash=use_flash)
         h = self.post_attn_norm(params["post_attn_norm"], h)
         x = x + h
         h = self.pre_ffn_norm(params["pre_ffn_norm"], x)
@@ -190,6 +215,9 @@ class Gemma3(nn.Module):
         # (quantize() unties it automatically when both are quantized).
         self.lm_head = nn.Linear(cfg.hidden_size, cfg.vocab_size, use_bias=False, dtype=dt)
         self.input_specs = [InputSpec("input_ids", (8,), np.int32)]
+        # Attention implementation for the full-sequence (no-cache) path:
+        # "auto" (flash on TPU at T >= 512), True, or False.
+        self.use_flash: bool | str = "auto"
         self.finalize()
 
     def init(self, rng: jax.Array) -> dict:
@@ -214,9 +242,11 @@ class Gemma3(nn.Module):
         mask_local = make_attention_mask(cfg, positions, kv_positions, is_global=False)
         mask_global = make_attention_mask(cfg, positions, kv_positions, is_global=True)
 
+        use_flash = getattr(self, "use_flash", "auto")
         for i, block in enumerate(self.blocks):
             mask = mask_global if cfg.is_global_layer(i) else mask_local
-            x = block(params[f"layers.{i}"], x, positions, mask, ctx=ctx, kv_write=kv_write)
+            x = block(params[f"layers.{i}"], x, positions, mask, ctx=ctx,
+                      kv_write=kv_write, use_flash=use_flash)
 
         return self.final_norm(params["final_norm"], x)
 
