@@ -30,6 +30,8 @@ def _build(model_cfg, quantized: bool, cpu_device):
     import onnx_quantize_tpu as oqt
     from onnx_quantize_tpu.models.gemma3 import Gemma3
 
+    from onnx_quantize_tpu.models.gemma3 import fuse_gemma3_projections
+
     model = Gemma3(model_cfg)
     with jax.default_device(cpu_device):
         params = model.init(jax.random.key(0))
@@ -47,6 +49,9 @@ def _build(model_cfg, quantized: bool, cpu_device):
                 ignore=[r"^layers\."],
             )
             params, _ = oqt.quantize(model, params, head_cfg)
+        # Horizontal q/k/v + gate/up fusion halves the per-step launch count
+        # (applied to baseline and quantized alike).
+        params = fuse_gemma3_projections(params)
     return model, params
 
 

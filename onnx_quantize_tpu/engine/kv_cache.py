@@ -69,7 +69,7 @@ def write_kv(cache: dict, layer: int, k, v, positions) -> dict:
         # buf: (B, S, H, D) or (B, S, H); rows time-indexed by positions (B, T).
         B = rows.shape[0]
         batch_idx = jnp.arange(B)[:, None]
-        return buf.at[batch_idx, positions].set(rows)
+        return buf.at[batch_idx, positions].set(rows.astype(buf.dtype))
 
     new = dict(cache)
     if quantized:

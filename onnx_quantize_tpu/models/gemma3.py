@@ -100,9 +100,24 @@ class Gemma3Attention(nn.Module):
     def _qkv(self, params, x, positions, ctx):
         cfg = self.cfg
         B, T, _ = x.shape
-        q = self.q_proj(params["q_proj"], x, ctx=ctx)
-        k = self.k_proj(params["k_proj"], x, ctx=ctx)
-        v = self.v_proj(params["v_proj"], x, ctx=ctx)
+        if "_fused_qkv" in params:
+            # Engine-load horizontal fusion (see nn/fuse.py): one kernel call.
+            from onnx_quantize_tpu.ops import quantized_matmul
+
+            fused = params["_fused_qkv"]
+            w = fused["w"]
+            if isinstance(w, nn.QTensor):
+                qkv = quantized_matmul(x, w)
+            else:
+                qkv = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+            n_q, n_k, _ = fused["split"]
+            q = qkv[..., :n_q]
+            k = qkv[..., n_q : n_q + n_k]
+            v = qkv[..., n_q + n_k :]
+        else:
+            q = self.q_proj(params["q_proj"], x, ctx=ctx)
+            k = self.k_proj(params["k_proj"], x, ctx=ctx)
+            v = self.v_proj(params["v_proj"], x, ctx=ctx)
         q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
         k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
@@ -158,8 +173,20 @@ class Gemma3MLP(nn.Module):
         self.down_proj = nn.Linear(cfg.intermediate_size, cfg.hidden_size, use_bias=False, dtype=dt)
 
     def __call__(self, params, x, ctx: Context | None = None):
-        gate = self.gate_proj(params["gate_proj"], x, ctx=ctx)
-        up = self.up_proj(params["up_proj"], x, ctx=ctx)
+        if "_fused_gate_up" in params:
+            from onnx_quantize_tpu.ops import quantized_matmul
+
+            fused = params["_fused_gate_up"]
+            w = fused["w"]
+            if isinstance(w, nn.QTensor):
+                gu = quantized_matmul(x, w)
+            else:
+                gu = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+            n_gate = fused["split"][0]
+            gate, up = gu[..., :n_gate], gu[..., n_gate:]
+        else:
+            gate = self.gate_proj(params["gate_proj"], x, ctx=ctx)
+            up = self.up_proj(params["up_proj"], x, ctx=ctx)
         act = jax.nn.gelu(gate, approximate=True) * up
         return self.down_proj(params["down_proj"], act, ctx=ctx)
 
@@ -195,6 +222,37 @@ def make_attention_mask(cfg: Gemma3Config, positions, kv_positions, is_global: b
         valid &= kv_positions[:, None, :] > positions[:, :, None] - cfg.sliding_window
     mask = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
     return mask[:, None, :, :]
+
+
+def fuse_gemma3_projections(params: dict) -> dict:
+    """Engine-load transform: fuse q/k/v and gate/up per layer when eligible.
+
+    Apply after quantization (and never before calibration — fused sites skip
+    activation taps). Returns a new params tree; original left untouched.
+    """
+    from onnx_quantize_tpu.nn.fuse import can_fuse, fuse_sites
+    from onnx_quantize_tpu.utils import copy_tree
+
+    params = copy_tree(params)
+    for name, layer in params.items():
+        if not (isinstance(layer, dict) and "attn" in layer):
+            continue
+        attn = layer["attn"]
+        trio = [attn.get("q_proj"), attn.get("k_proj"), attn.get("v_proj")]
+        if all(trio) and can_fuse(trio):
+            fused, sizes = fuse_sites(trio)
+            attn["_fused_qkv"] = {"w": fused, "split": tuple(sizes)}
+            for key in ("q_proj", "k_proj", "v_proj"):
+                del attn[key]
+        mlp = layer.get("mlp")
+        if mlp is not None:
+            duo = [mlp.get("gate_proj"), mlp.get("up_proj")]
+            if all(duo) and can_fuse(duo):
+                fused, sizes = fuse_sites(duo)
+                mlp["_fused_gate_up"] = {"w": fused, "split": tuple(sizes)}
+                for key in ("gate_proj", "up_proj"):
+                    del mlp[key]
+    return params
 
 
 class Gemma3(nn.Module):
