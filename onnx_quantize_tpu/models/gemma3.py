@@ -104,13 +104,13 @@ class Gemma3Attention(nn.Module):
             # Engine-load horizontal fusion (see nn/fuse.py): one kernel call.
             from onnx_quantize_tpu.ops import quantized_matmul
 
-            fused = params["_fused_qkv"]
-            w = fused["w"]
+            w = params["_fused_qkv"]["w"]
             if isinstance(w, nn.QTensor):
                 qkv = quantized_matmul(x, w)
             else:
                 qkv = jnp.matmul(x, w, preferred_element_type=jnp.float32)
-            n_q, n_k, _ = fused["split"]
+            n_q = cfg.num_heads * cfg.head_dim
+            n_k = cfg.num_kv_heads * cfg.head_dim
             q = qkv[..., :n_q]
             k = qkv[..., n_q : n_q + n_k]
             v = qkv[..., n_q + n_k :]
@@ -176,13 +176,12 @@ class Gemma3MLP(nn.Module):
         if "_fused_gate_up" in params:
             from onnx_quantize_tpu.ops import quantized_matmul
 
-            fused = params["_fused_gate_up"]
-            w = fused["w"]
+            w = params["_fused_gate_up"]["w"]
             if isinstance(w, nn.QTensor):
                 gu = quantized_matmul(x, w)
             else:
                 gu = jnp.matmul(x, w, preferred_element_type=jnp.float32)
-            n_gate = fused["split"][0]
+            n_gate = gu.shape[-1] // 2  # gate and up are both intermediate_size
             gate, up = gu[..., :n_gate], gu[..., n_gate:]
         else:
             gate = self.gate_proj(params["gate_proj"], x, ctx=ctx)
@@ -240,16 +239,16 @@ def fuse_gemma3_projections(params: dict) -> dict:
         attn = layer["attn"]
         trio = [attn.get("q_proj"), attn.get("k_proj"), attn.get("v_proj")]
         if all(trio) and can_fuse(trio):
-            fused, sizes = fuse_sites(trio)
-            attn["_fused_qkv"] = {"w": fused, "split": tuple(sizes)}
+            fused, _ = fuse_sites(trio)
+            attn["_fused_qkv"] = {"w": fused}
             for key in ("q_proj", "k_proj", "v_proj"):
                 del attn[key]
         mlp = layer.get("mlp")
         if mlp is not None:
             duo = [mlp.get("gate_proj"), mlp.get("up_proj")]
             if all(duo) and can_fuse(duo):
-                fused, sizes = fuse_sites(duo)
-                mlp["_fused_gate_up"] = {"w": fused, "split": tuple(sizes)}
+                fused, _ = fuse_sites(duo)
+                mlp["_fused_gate_up"] = {"w": fused}
                 for key in ("gate_proj", "up_proj"):
                     del mlp[key]
     return params
