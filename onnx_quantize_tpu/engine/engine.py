@@ -13,8 +13,7 @@ kernels) and fp or int8 KV cache.
 
 from __future__ import annotations
 
-import functools
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

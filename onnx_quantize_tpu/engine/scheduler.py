@@ -12,7 +12,6 @@ from __future__ import annotations
 import dataclasses
 import itertools
 from collections import deque
-from typing import Callable
 
 import jax
 import numpy as np

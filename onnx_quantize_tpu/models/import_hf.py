@@ -8,7 +8,6 @@ directory — no network access required.
 
 from __future__ import annotations
 
-import json
 import os
 
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from onnx_quantize_tpu.core.dtypes import QuantType
 from onnx_quantize_tpu.core.enums import QFormat, QuantizationStrategy
 from onnx_quantize_tpu.core.numerics import compute_qparams
 from onnx_quantize_tpu.nn.qtensor import ActQuantSpec, QBias, QTensor, unpack_k_pairs

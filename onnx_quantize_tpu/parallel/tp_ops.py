@@ -18,7 +18,6 @@ kernels (which GSPMD cannot partition) run tensor-parallel too.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
