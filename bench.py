@@ -105,7 +105,9 @@ def main():
 
     if on_accel:
         cfg = dataclasses.replace(GEMMA3_270M, dtype="bfloat16")
-        batch, prompt_len, steps, max_seq = 8, 128, 64, 512
+        # B=32: decode on this runtime is per-step-cost bound, so throughput
+        # scales with batch until memory pressure (see BENCH.md).
+        batch, prompt_len, steps, max_seq = 32, 128, 64, 512
     else:
         cfg = Gemma3Config.tiny(
             hidden_size=128, intermediate_size=256, num_layers=2, num_heads=2,
