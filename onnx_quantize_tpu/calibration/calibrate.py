@@ -238,7 +238,11 @@ def calibrate_model(model: Module, params, plan: QuantPlan, qconfig: QConfig) ->
         tap_outputs=tap_outputs,
     )
 
-    calibrator = get_calibrator(cp.method, momentum=cp.momentum)
+    method = cp.method if isinstance(cp.method, str) else cp.method.value
+    if method == "percentile":
+        calibrator = get_calibrator(cp.method, percentile=cp.percentile, momentum=cp.momentum)
+    else:
+        calibrator = get_calibrator(cp.method, momentum=cp.momentum)
 
     if calibrate_inputs:
         _set_entry_qparams(plan, activations, calibrator, qconfig.input_activations, "input")

@@ -4,12 +4,14 @@ from __future__ import annotations
 
 from onnx_quantize_tpu.calibration.base import Calibrator
 from onnx_quantize_tpu.calibration.minmax import MinMaxCalibrator
+from onnx_quantize_tpu.calibration.percentile import PercentileCalibrator
 from onnx_quantize_tpu.core.qconfig import CalibrationMethod
 
 __all__ = ["get_calibrator", "register_calibrator"]
 
 _CALIBRATORS: dict[CalibrationMethod, type[Calibrator]] = {
     CalibrationMethod.MINMAX: MinMaxCalibrator,
+    CalibrationMethod.PERCENTILE: PercentileCalibrator,
 }
 
 

@@ -78,6 +78,7 @@ class Backend(str, enum.Enum):
 
 class CalibrationMethod(enum.Enum):
     MINMAX = "minmax"
+    PERCENTILE = "percentile"
 
 
 class CalibrationParams(BaseModel):
@@ -94,6 +95,7 @@ class CalibrationParams(BaseModel):
     num_samples: int = 100
     batch_size: int = 10
     momentum: float = 0.0
+    percentile: float = 0.999  # used by method="percentile"
     backend: Backend | str = Field(default=Backend.CPU)
 
     @field_validator("method", mode="before")
@@ -118,6 +120,12 @@ class CalibrationParams(BaseModel):
     def _validate_momentum(cls, value):
         if not 0 <= value < 1:
             raise ValueError(f"Momentum must be in [0, 1), got {value}")
+        return value
+
+    @field_validator("percentile", mode="after")
+    def _validate_percentile(cls, value):
+        if not 0 < value <= 1:
+            raise ValueError(f"percentile must be in (0, 1], got {value}")
         return value
 
     @field_validator("num_samples", "batch_size", mode="after")
