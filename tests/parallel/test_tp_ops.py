@@ -58,6 +58,22 @@ def test_row_parallel_matches_single_device(rng, mesh):
     np.testing.assert_allclose(y_tp, y_ref, atol=1e-4)
 
 
+def test_column_parallel_with_pallas_kernels(rng, mesh):
+    """The Pallas kernel (interpret mode on CPU) must compose with shard_map:
+    per-device local shapes hit the kernel, collectives stay outside."""
+    from onnx_quantize_tpu import ops
+
+    qt = _qt(rng, K=64, N=512, gs=16)  # 512/4 = 128 per shard: lane-tileable
+    x = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
+    ops.set_impl("pallas")
+    try:
+        y_tp = np.asarray(column_parallel_matmul(x, qt, mesh))
+    finally:
+        ops.set_impl("auto")
+    y_ref = np.asarray(quantized_matmul_jnp(x, qt))
+    np.testing.assert_allclose(y_tp, y_ref, atol=1e-5)
+
+
 def test_tp_pair_single_psum_matches(rng, mesh):
     """column(up) -> gelu -> row(down) with one psum == single-device chain."""
     qt_up = _qt(rng, K=64, N=256, gs=16)
