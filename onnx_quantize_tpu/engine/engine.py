@@ -58,7 +58,7 @@ class InferenceEngine:
         self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
         self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
         self._decode_multi_jit = jax.jit(
-            self._decode_multi_impl, donate_argnums=(1,), static_argnums=(4,)
+            self._decode_multi_impl, donate_argnums=(1,), static_argnums=(4, 5)
         )
 
     def new_cache(self) -> dict:
@@ -118,20 +118,31 @@ class InferenceEngine:
         cache["lengths"] = lengths + active.astype(jnp.int32)
         return cache, logits[:, 0]
 
-    def _decode_multi_impl(self, params, cache, tokens, active, steps: int):
-        """``steps`` greedy decode iterations inside one program (lax.scan).
+    def _decode_multi_impl(self, params, cache, tokens, active, steps: int,
+                           sampling: SamplingParams | None = None, rng=None):
+        """``steps`` decode iterations inside one program (lax.scan).
 
         Amortizes per-step host dispatch — the decisive factor on runtimes
-        with high launch latency. Returns (cache, tokens (B, steps)).
+        with high launch latency. Greedy when ``sampling`` is None/zero-temp,
+        otherwise samples with a per-step rng split. Returns
+        (cache, tokens (B, steps)).
         """
+        rngs = (
+            jax.random.split(rng, steps)
+            if sampling is not None and sampling.temperature > 0
+            else None
+        )
 
-        def step(carry, _):
+        def step(carry, step_rng):
             cache, toks = carry
             cache, logits = self._decode_impl(params, cache, toks, active)
-            next_toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if rngs is None:
+                next_toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                next_toks = sample(logits, step_rng, sampling)
             return (cache, next_toks), next_toks
 
-        (cache, _), out = jax.lax.scan(step, (cache, tokens), None, length=steps)
+        (cache, _), out = jax.lax.scan(step, (cache, tokens), rngs, length=steps)
         return cache, out.T  # (B, steps)
 
     # ── public API ───────────────────────────────────────────────────────
@@ -157,16 +168,20 @@ class InferenceEngine:
         )
 
     def decode_multi(self, cache, tokens: np.ndarray, steps: int,
-                     active: np.ndarray | None = None):
-        """Greedy-decode ``steps`` tokens in one device program.
+                     active: np.ndarray | None = None,
+                     sampling: SamplingParams | None = None,
+                     rng: jax.Array | None = None):
+        """Decode ``steps`` tokens in one device program (greedy or sampled).
 
         Returns (cache, generated (B, steps) int32).
         """
         if active is None:
             active = np.ones(tokens.shape, bool)
+        if sampling is not None and sampling.temperature > 0 and rng is None:
+            rng = jax.random.key(0)
         return self._decode_multi_jit(
             self.params, cache, jnp.asarray(tokens, jnp.int32),
-            jnp.asarray(active), steps,
+            jnp.asarray(active), steps, sampling, rng,
         )
 
     def generate(

@@ -56,6 +56,26 @@ class Gemma3Config:
 
 GEMMA3_270M = Gemma3Config()
 
+# Larger text-model configs in the family (same architecture knobs).
+GEMMA3_1B = Gemma3Config(
+    hidden_size=1152,
+    intermediate_size=6912,
+    num_layers=26,
+    num_heads=4,
+    num_kv_heads=1,
+    head_dim=256,
+)
+
+GEMMA3_4B = Gemma3Config(
+    hidden_size=2560,
+    intermediate_size=10240,
+    num_layers=34,
+    num_heads=8,
+    num_kv_heads=4,
+    head_dim=256,
+    sliding_window=1024,
+)
+
 
 def _tiny(cfg: Gemma3Config | None = None, **kw) -> Gemma3Config:
     """A scaled-down config for tests."""
