@@ -13,8 +13,6 @@ kernels) and fp or int8 KV cache.
 
 from __future__ import annotations
 
-
-
 import jax
 import jax.numpy as jnp
 import numpy as np

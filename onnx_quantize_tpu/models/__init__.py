@@ -1,0 +1,20 @@
+from onnx_quantize_tpu.models.gemma3 import (
+    GEMMA3_270M,
+    GEMMA3_1B,
+    GEMMA3_4B,
+    Gemma3,
+    Gemma3Config,
+    fuse_gemma3_projections,
+)
+from onnx_quantize_tpu.models.transformer import TransformerConfig, TransformerLM
+
+__all__ = [
+    "Gemma3",
+    "Gemma3Config",
+    "GEMMA3_270M",
+    "GEMMA3_1B",
+    "GEMMA3_4B",
+    "fuse_gemma3_projections",
+    "TransformerLM",
+    "TransformerConfig",
+]
