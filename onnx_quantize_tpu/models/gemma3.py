@@ -53,6 +53,17 @@ class Gemma3Config:
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
 
+    @classmethod
+    def tiny(cls, **kw) -> "Gemma3Config":
+        """A scaled-down config for tests."""
+        base = dict(
+            vocab_size=256, hidden_size=64, intermediate_size=128, num_layers=2,
+            num_heads=2, num_kv_heads=1, head_dim=32, sliding_window=16,
+            sliding_pattern=2,
+        )
+        base.update(kw)
+        return cls(**base)
+
 
 GEMMA3_270M = Gemma3Config()
 
@@ -75,20 +86,6 @@ GEMMA3_4B = Gemma3Config(
     head_dim=256,
     sliding_window=1024,
 )
-
-
-def _tiny(cfg: Gemma3Config | None = None, **kw) -> Gemma3Config:
-    """A scaled-down config for tests."""
-    base = dict(
-        vocab_size=256, hidden_size=64, intermediate_size=128, num_layers=2,
-        num_heads=2, num_kv_heads=1, head_dim=32, sliding_window=16,
-        sliding_pattern=2,
-    )
-    base.update(kw)
-    return Gemma3Config(**base)
-
-
-Gemma3Config.tiny = staticmethod(_tiny)
 
 
 class Gemma3Attention(nn.Module):
