@@ -20,10 +20,11 @@ __all__ = ["quantized_matmul", "set_impl", "get_impl", "convert_to_w4a8"]
 
 
 def convert_to_w4a8(params):
-    """Switch packed 4-bit weights-only QTensors to the W4A8 execution mode.
+    """Switch weights-only QTensors to the dynamic-int8-activation (A8) mode.
 
-    Sets ``input_quant`` to dynamic symmetric int8 so the s8xs8 MXU kernel
-    picks the site up. This is a TPU-side capability extension beyond the
+    Sets ``input_quant`` to dynamic symmetric int8 so the s8xs8 MXU kernels
+    pick the sites up (4-bit weights -> W4A8 kernel; symmetric 8-bit weights
+    -> W8A8 kernel). This is a TPU-side capability extension beyond the
     reference (whose config layer restricts 4-bit to weights-only,
     ``_qconfig.py:482-485``): the artifact is unchanged, only the execution
     spec differs. Skips HQQ weights (float zero points cannot center in int8).
@@ -34,15 +35,19 @@ def convert_to_w4a8(params):
 
     from onnx_quantize_tpu.nn.qtensor import ActQuantSpec
 
+    def eligible(qt: QTensor) -> bool:
+        if qt.meta.input_quant.mode != "none":
+            return False
+        if jnp.issubdtype(qt.zero_point.dtype, jnp.floating) and qt.meta.packed:
+            return False
+        if qt.meta.packed:
+            return True
+        return qt.meta.qt.bitwidth == 8 and qt.meta.symmetric
+
     def visit(tree):
         if isinstance(tree, dict):
             return {k: visit(v) for k, v in tree.items()}
-        if (
-            isinstance(tree, QTensor)
-            and tree.meta.packed
-            and tree.meta.input_quant.mode == "none"
-            and not jnp.issubdtype(tree.zero_point.dtype, jnp.floating)
-        ):
+        if isinstance(tree, QTensor) and eligible(tree):
             meta = dataclasses.replace(
                 tree.meta,
                 input_quant=ActQuantSpec(mode="dynamic", dtype="int8", symmetric=True),

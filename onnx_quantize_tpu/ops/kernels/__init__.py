@@ -31,10 +31,11 @@ def select_kernel(x, qt: QTensor, bias):
     return None
 
 
-# Import kernel modules so they register. Order matters: the W4A8 predicate is
-# a strict subset of W4's, so it must register first.
+# Import kernel modules so they register. Order matters: the A8 predicates are
+# strict subsets of the weight-only ones, so they must register first.
 from onnx_quantize_tpu.ops.kernels import (  # noqa: E402,F401
     matmul_w4a8,
+    matmul_w8a8,
     matmul_w4,
     matmul_w8,
     matmul_q8,
