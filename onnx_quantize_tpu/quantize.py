@@ -104,11 +104,19 @@ def _quantize_bias_qdq(bias: np.ndarray, qcfg: QConfig) -> QBias:
 
 
 def _transform_site(entry: PlanEntry, params: dict) -> None:
+    from onnx_quantize_tpu.nn.qtensor import QTensor
+
     qcfg = entry.qconfig()
     if qcfg.weights is None:
         return
 
     site_params = tree_get(params, entry.site.param_path)
+    if isinstance(site_params["w"], QTensor):
+        # Already quantized by a previous pass (mixed per-site configs are
+        # applied as sequential quantize() calls with complementary ignore
+        # patterns); leave it as-is.
+        logger.info("Site %s already quantized; skipping.", entry.name)
+        return
     weight = np.asarray(site_params["w"], dtype=np.float32)
 
     q, scale, zp = qcfg.weights.algorithm.quantize_weights(weight, qcfg, entry)
