@@ -105,7 +105,11 @@ class InferenceEngine:
     def _decode_impl(self, params, cache, tokens, active):
         """tokens: (B,) next input token per slot; active: (B,) bool."""
         lengths = cache["lengths"]
-        positions = lengths[:, None]  # write position for the new token
+        # Sequences at capacity must not advance; their write position equals
+        # max_seq, which the KV scatter drops (mode="drop"), so no slot is
+        # corrupted and lengths stay put.
+        active = jnp.logical_and(active, lengths < self.max_seq)
+        positions = lengths[:, None]
         ids = tokens[:, None]
         slot = jnp.arange(self.max_seq, dtype=jnp.int32)[None, :]
         kv_positions = jnp.where(slot < (lengths + 1)[:, None], slot, _FAR)

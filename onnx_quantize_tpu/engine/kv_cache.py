@@ -67,9 +67,11 @@ def write_kv(cache: dict, layer: int, k, v, positions) -> dict:
 
     def scatter(buf, rows):
         # buf: (B, S, H, D) or (B, S, H); rows time-indexed by positions (B, T).
+        # mode="drop": out-of-range positions (sequences at capacity) skip the
+        # write instead of clamping onto the last slot.
         B = rows.shape[0]
         batch_idx = jnp.arange(B)[:, None]
-        return buf.at[batch_idx, positions].set(rows.astype(buf.dtype))
+        return buf.at[batch_idx, positions].set(rows.astype(buf.dtype), mode="drop")
 
     new = dict(cache)
     if quantized:

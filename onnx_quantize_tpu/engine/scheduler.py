@@ -107,7 +107,10 @@ class ContinuousBatchingScheduler:
             request.output.append(token)
             self.next_tokens[slot_id] = token
             hit_eos = request.eos_token_id is not None and token == request.eos_token_id
-            if hit_eos or len(request.output) >= request.max_new_tokens:
+            out_of_cache = (
+                int(np.asarray(self.cache["lengths"])[slot_id]) >= self.engine.max_seq
+            )
+            if hit_eos or out_of_cache or len(request.output) >= request.max_new_tokens:
                 request.done = True
                 self.completed.append(request)
                 self.slots[slot_id] = None
