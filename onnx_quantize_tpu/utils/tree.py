@@ -35,12 +35,16 @@ def untie_params(params: dict, site_paths: list[tuple[str, ...]]) -> dict:
     quantized independently. Here sharing means two param paths referencing
     the same array object.
     """
+    from onnx_quantize_tpu.nn.qtensor import QTensor
+
     params = copy_tree(params)
     seen: dict[int, tuple[str, ...]] = {}
     for path in site_paths:
         site = tree_get(params, path)
         w = site.get("w")
-        if w is None:
+        if w is None or isinstance(w, QTensor):
+            # Already-quantized leaves are skipped by the transform, so
+            # sharing between them is harmless.
             continue
         key = id(w)
         if key in seen:
