@@ -137,9 +137,14 @@ def q8_matmul(x, qt: QTensor, bias, *, interpret: bool | None = None):
     x_q8 = (x_q - shift).astype(jnp.int8)
     x_zp_eff = x_zp - shift
 
-    w_q = jnp.asarray(qt.data).astype(jnp.int8)  # QLinear weights are 8-bit
+    # Shift unsigned weights into s8 (a plain cast would wrap values > 127);
+    # shifting the zero point by the same amount keeps the centered product
+    # (w - zp) exact.
+    w_raw = jnp.asarray(qt.data)
+    w_shift = 0 if qt.meta.qt.is_signed else 128
+    w_q = (w_raw.astype(jnp.int32) - w_shift).astype(jnp.int8)
     w_scale = jnp.asarray(qt.scale, jnp.float32)
-    w_zp = jnp.asarray(qt.zero_point, jnp.int32)
+    w_zp = jnp.asarray(qt.zero_point, jnp.int32) - w_shift
 
     if qt.meta.strat == QuantizationStrategy.TENSOR:
         w_zp_row = jnp.full((1, N), w_zp, jnp.int32)

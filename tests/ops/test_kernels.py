@@ -69,10 +69,16 @@ def test_w8_kernel_matches_reference(rng, qt_type, K, N, gs, strategy):
 @pytest.mark.parametrize("strategy", [QuantizationStrategy.TENSOR, QuantizationStrategy.CHANNEL])
 @pytest.mark.parametrize("with_bias", [False, True])
 @pytest.mark.parametrize("K", [64, 100])
-def test_q8_kernel_matches_reference(rng, strategy, with_bias, K):
+@pytest.mark.parametrize("w_qt, w_sym", [
+    (QuantType.QInt8, True),
+    # uint8 weights regression: a plain int8 cast wraps values > 127.
+    (QuantType.QUInt8, True),
+    (QuantType.QUInt8, False),
+])
+def test_q8_kernel_matches_reference(rng, strategy, with_bias, K, w_qt, w_sym):
     N = 128
     w = (0.1 * rng.standard_normal((K, N))).astype(np.float32)
-    q, s, zp = rtn_quantize(w, QuantType.QInt8, strategy, -1, True, False)
+    q, s, zp = rtn_quantize(w, w_qt, strategy, -1, w_sym, False)
     x = rng.standard_normal((6, K)).astype(np.float32)
 
     in_scale = np.float32((np.max(x) - np.min(x)) / 255)
@@ -82,8 +88,8 @@ def test_q8_kernel_matches_reference(rng, strategy, with_bias, K):
     o_zp = np.float32(round(float(np.clip(-y_ref_fp.min() / o_scale, 0, 255))))
 
     qt = make_qtensor(
-        q, s, zp, quant_type=QuantType.QInt8, strategy=strategy, group_size=-1,
-        symmetric=True, reduce_range=False, fmt=QFormat.QLINEAR,
+        q, s, zp, quant_type=w_qt, strategy=strategy, group_size=-1,
+        symmetric=w_sym, reduce_range=False, fmt=QFormat.QLINEAR,
         input_quant=ActQuantSpec(mode="static", dtype="uint8"),
         output_quant=ActQuantSpec(mode="static", dtype="uint8"),
         input_scale=in_scale, input_zero_point=in_zp,
