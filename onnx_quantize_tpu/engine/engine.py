@@ -56,7 +56,7 @@ class InferenceEngine:
         self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
         self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
         self._decode_multi_jit = jax.jit(
-            self._decode_multi_impl, donate_argnums=(1,), static_argnums=(4, 5)
+            self._decode_multi_impl, donate_argnums=(1,), static_argnums=(4, 5, 7)
         )
 
     def new_cache(self) -> dict:
@@ -109,10 +109,14 @@ class InferenceEngine:
         # max_seq, which the KV scatter drops (mode="drop"), so no slot is
         # corrupted and lengths stay put.
         active = jnp.logical_and(active, lengths < self.max_seq)
-        positions = lengths[:, None]
+        # Inactive slots (finished / empty) write to max_seq, which the
+        # scatter's mode="drop" discards — their cache rows stay untouched.
+        positions = jnp.where(active, lengths, self.max_seq)[:, None]
         ids = tokens[:, None]
         slot = jnp.arange(self.max_seq, dtype=jnp.int32)[None, :]
-        kv_positions = jnp.where(slot < (lengths + 1)[:, None], slot, _FAR)
+        kv_positions = jnp.where(
+            slot < (lengths + active.astype(jnp.int32))[:, None], slot, _FAR
+        )
 
         holder = {"cache": cache}
         logits = self._forward(params, holder, ids, positions, kv_positions)
@@ -121,13 +125,16 @@ class InferenceEngine:
         return cache, logits[:, 0]
 
     def _decode_multi_impl(self, params, cache, tokens, active, steps: int,
-                           sampling: SamplingParams | None = None, rng=None):
+                           sampling: SamplingParams | None = None, rng=None,
+                           eos_token_id: int | None = None):
         """``steps`` decode iterations inside one program (lax.scan).
 
         Amortizes per-step host dispatch — the decisive factor on runtimes
         with high launch latency. Greedy when ``sampling`` is None/zero-temp,
-        otherwise samples with a per-step rng split. Returns
-        (cache, tokens (B, steps)).
+        otherwise samples with a per-step rng split. When ``eos_token_id`` is
+        set, a done-mask carried through the scan freezes finished sequences:
+        they stop writing KV, their lengths stop advancing, and their output
+        is padded with EOS. Returns (cache, tokens (B, steps)).
         """
         rngs = (
             jax.random.split(rng, steps)
@@ -136,15 +143,26 @@ class InferenceEngine:
         )
 
         def step(carry, step_rng):
-            cache, toks = carry
-            cache, logits = self._decode_impl(params, cache, toks, active)
+            cache, toks, done = carry
+            act = jnp.logical_and(active, jnp.logical_not(done))
+            cache, logits = self._decode_impl(params, cache, toks, act)
             if rngs is None:
                 next_toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             else:
                 next_toks = sample(logits, step_rng, sampling)
-            return (cache, next_toks), next_toks
+            if eos_token_id is not None:
+                # Pad already-finished slots with EOS, then absorb this
+                # step's fresh EOS emissions into the done-mask.
+                next_toks = jnp.where(done, eos_token_id, next_toks)
+                done = jnp.logical_or(
+                    done, jnp.logical_and(act, next_toks == eos_token_id)
+                )
+            return (cache, next_toks, done), next_toks
 
-        (cache, _), out = jax.lax.scan(step, (cache, tokens), rngs, length=steps)
+        done0 = jnp.zeros(tokens.shape, bool)
+        (cache, _, _), out = jax.lax.scan(
+            step, (cache, tokens, done0), rngs, length=steps
+        )
         return cache, out.T  # (B, steps)
 
     # ── public API ───────────────────────────────────────────────────────
@@ -172,9 +190,12 @@ class InferenceEngine:
     def decode_multi(self, cache, tokens: np.ndarray, steps: int,
                      active: np.ndarray | None = None,
                      sampling: SamplingParams | None = None,
-                     rng: jax.Array | None = None):
+                     rng: jax.Array | None = None,
+                     eos_token_id: int | None = None):
         """Decode ``steps`` tokens in one device program (greedy or sampled).
 
+        With ``eos_token_id`` set, sequences freeze after emitting EOS (no KV
+        writes, no length advance; output padded with EOS).
         Returns (cache, generated (B, steps) int32).
         """
         if active is None:
@@ -183,7 +204,7 @@ class InferenceEngine:
             rng = jax.random.key(0)
         return self._decode_multi_jit(
             self.params, cache, jnp.asarray(tokens, jnp.int32),
-            jnp.asarray(active), steps, sampling, rng,
+            jnp.asarray(active), steps, sampling, rng, eos_token_id,
         )
 
     def generate(
