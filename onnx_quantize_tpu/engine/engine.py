@@ -16,9 +16,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from onnx_quantize_tpu._logging import get_logger
-from onnx_quantize_tpu.engine.kv_cache import KVCacheConfig, init_cache, read_kv, write_kv
+from onnx_quantize_tpu.engine.kv_cache import (
+    KVCacheConfig,
+    init_cache,
+    read_kv,
+    read_kv_quantized,
+    write_kv,
+)
 from onnx_quantize_tpu.engine.sampling import SamplingParams, sample
 
 logger = get_logger(__name__)
@@ -29,6 +37,16 @@ _FAR = 1 << 30  # kv_positions sentinel: always masked
 
 
 class InferenceEngine:
+    """Jit'd prefill/decode engine; single-chip or tensor+data parallel.
+
+    With ``mesh`` set (axes ``(data, model)``), every step runs as ONE
+    ``shard_map`` program over the mesh: the batch shards over ``data`` and
+    the model runs the Megatron TP schedule over ``model`` — per-device Pallas
+    kernels on local weight shards, one psum per column->row projection pair,
+    a single logits all-gather (see ``parallel/tp.py``). The model must
+    implement ``tp_localize`` (Gemma3 does).
+    """
+
     def __init__(
         self,
         model,
@@ -37,13 +55,35 @@ class InferenceEngine:
         max_seq: int = 2048,
         kv_quant: bool = False,
         dtype=jnp.float32,
+        mesh=None,
+        data_axis: str = "data",
+        model_axis: str = "model",
+        fused_attention: bool | str = "auto",
     ):
         cfg = model.cfg
         self.model = model
-        self.params = params
         self.max_batch = max_batch
         self.max_seq = max_seq
         self.dtype = dtype
+        self.mesh = mesh
+        # Fused int8-KV decode attention (ops/kernels/flash_decode.py): the
+        # kernel consumes the int8 cache directly — no per-step float
+        # materialization. "auto" = on-TPU whenever the shapes tile.
+        fusable = (
+            kv_quant and cfg.head_dim % 128 == 0 and max_seq % 128 == 0
+        )
+        if fused_attention == "auto":
+            self._fused_attn = fusable and jax.default_backend() == "tpu"
+        elif fused_attention:
+            if not fusable:
+                raise ValueError(
+                    "fused_attention requires an int8 KV cache, head_dim % 128"
+                    f" == 0 and max_seq % 128 == 0 (got kv_quant={kv_quant}, "
+                    f"head_dim={cfg.head_dim}, max_seq={max_seq})"
+                )
+            self._fused_attn = True
+        else:
+            self._fused_attn = False
         self.cache_cfg = KVCacheConfig(
             num_layers=cfg.num_layers,
             batch=max_batch,
@@ -53,25 +93,117 @@ class InferenceEngine:
             quantized=kv_quant,
             dtype=dtype,
         )
-        self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
-        self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
-        self._decode_multi_jit = jax.jit(
-            self._decode_multi_impl, donate_argnums=(1,), static_argnums=(4, 5, 7)
-        )
+        if mesh is None:
+            self._exec_model = model
+            self.params = params
+            self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
+            self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
+            self._decode_multi_jit = jax.jit(
+                self._decode_multi_impl, donate_argnums=(1,), static_argnums=(4, 5, 7)
+            )
+        else:
+            from onnx_quantize_tpu.parallel.tp import build_param_specs, localize_params
+
+            self._data_axis, self._model_axis = data_axis, model_axis
+            tp = mesh.shape[model_axis]
+            dp = mesh.shape[data_axis]
+            if max_batch % dp != 0:
+                raise ValueError(f"max_batch={max_batch} not divisible by data={dp}")
+            self._exec_model, rules = model.tp_localize(tp, axis=model_axis)
+            params = localize_params(params, rules, tp)
+            self._param_specs = build_param_specs(params, rules, axis=model_axis)
+            shardings = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), self._param_specs
+            )
+            self.params = jax.device_put(params, shardings)
+            # tp_localize divides num_kv_heads only when the KV heads shard.
+            kv_sharded = self._exec_model.cfg.num_kv_heads != cfg.num_kv_heads
+            self._cache_specs = self._make_cache_specs(kv_sharded)
+            d = self._data_axis
+            self._prefill_jit = jax.jit(
+                shard_map(
+                    self._prefill_impl, mesh=mesh,
+                    in_specs=(self._param_specs, self._cache_specs,
+                              P(d, None), P(d), P(d)),
+                    out_specs=(self._cache_specs, P(d, None)),
+                    check_vma=False,
+                ),
+                donate_argnums=(1,),
+            )
+            self._decode_jit = jax.jit(
+                shard_map(
+                    self._decode_impl, mesh=mesh,
+                    in_specs=(self._param_specs, self._cache_specs, P(d), P(d)),
+                    out_specs=(self._cache_specs, P(d, None)),
+                    check_vma=False,
+                ),
+                donate_argnums=(1,),
+            )
+            self._tp_decode_multi_cache: dict = {}
+
+    def _make_cache_specs(self, kv_sharded: bool):
+        """PartitionSpec tree for the KV cache: batch over data; KV heads over
+        model when sharded (arrays are (L, B, S, H[, D]))."""
+        d, m = self._data_axis, self._model_axis
+        h = m if kv_sharded else None
+        specs = {"k": P(None, d, None, h, None), "v": P(None, d, None, h, None),
+                 "lengths": P(d)}
+        if self.cache_cfg.quantized:
+            specs["k_scale"] = P(None, d, None, h)
+            specs["v_scale"] = P(None, d, None, h)
+        return specs
+
+    def _tp_decode_multi_jit(self, steps: int, sampling, eos_token_id):
+        """shard_map'd decode_multi, one compiled program per static config."""
+        key = (steps, sampling, eos_token_id)
+        fn = self._tp_decode_multi_cache.get(key)
+        if fn is None:
+            d = self._data_axis
+
+            def impl(params, cache, tokens, active, rng):
+                return self._decode_multi_impl(
+                    params, cache, tokens, active, steps, sampling, rng,
+                    eos_token_id,
+                )
+
+            fn = jax.jit(
+                shard_map(
+                    impl, mesh=self.mesh,
+                    in_specs=(self._param_specs, self._cache_specs,
+                              P(d), P(d), P()),
+                    out_specs=(self._cache_specs, P(d, None)),
+                    check_vma=False,
+                ),
+                donate_argnums=(1,),
+            )
+            self._tp_decode_multi_cache[key] = fn
+        return fn
 
     def new_cache(self) -> dict:
-        return init_cache(self.cache_cfg)
+        cache = init_cache(self.cache_cfg)
+        if self.mesh is not None:
+            cache = jax.device_put(
+                cache,
+                jax.tree.map(lambda s: NamedSharding(self.mesh, s), self._cache_specs),
+            )
+        return cache
 
     # ── model forward with cache ─────────────────────────────────────────
 
     def _forward(self, params, cache_holder, ids, positions, kv_positions):
+        # Decode steps (T == 1) hand the attention the raw int8 cache; the
+        # model routes it to the fused flash-decode kernel.
+        fused = self._fused_attn and ids.shape[1] == 1
+
         def kv_write_fn(layer, k, v):
             cache_holder["cache"] = write_kv(
                 cache_holder["cache"], layer, k, v, positions
             )
+            if fused:
+                return read_kv_quantized(cache_holder["cache"], layer)
             return read_kv(cache_holder["cache"], layer, dtype=self.dtype)
 
-        return self.model(
+        return self._exec_model(
             params, ids, positions=positions, kv_write=kv_write_fn,
             kv_positions=kv_positions,
         )
@@ -202,6 +334,14 @@ class InferenceEngine:
             active = np.ones(tokens.shape, bool)
         if sampling is not None and sampling.temperature > 0 and rng is None:
             rng = jax.random.key(0)
+        if self.mesh is not None:
+            fn = self._tp_decode_multi_jit(steps, sampling, eos_token_id)
+            if rng is None:
+                rng = jax.random.key(0)  # replicated placeholder (greedy path)
+            return fn(
+                self.params, cache, jnp.asarray(tokens, jnp.int32),
+                jnp.asarray(active), rng,
+            )
         return self._decode_multi_jit(
             self.params, cache, jnp.asarray(tokens, jnp.int32),
             jnp.asarray(active), steps, sampling, rng, eos_token_id,

@@ -21,7 +21,19 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-__all__ = ["KVCacheConfig", "init_cache", "write_kv", "read_kv"]
+__all__ = ["KVCacheConfig", "QuantizedKV", "init_cache", "write_kv", "read_kv",
+           "read_kv_quantized"]
+
+
+@dataclasses.dataclass
+class QuantizedKV:
+    """A layer's int8 K/V cache view, passed to the fused decode-attention
+    kernel without dequantization (see ``ops/kernels/flash_decode.py``)."""
+
+    k: Any  # (B, S, H_kv, D) int8
+    v: Any
+    k_scale: Any  # (B, S, H_kv) f32
+    v_scale: Any
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +101,14 @@ def write_kv(cache: dict, layer: int, k, v, positions) -> dict:
         new["k"] = cache["k"].at[layer].set(scatter(cache["k"][layer], k))
         new["v"] = cache["v"].at[layer].set(scatter(cache["v"][layer], v))
     return new
+
+
+def read_kv_quantized(cache: dict, layer: int) -> QuantizedKV:
+    """The layer's raw int8 K/V + scales (no dequantization, no HBM copy)."""
+    return QuantizedKV(
+        k=cache["k"][layer], v=cache["v"][layer],
+        k_scale=cache["k_scale"][layer], v_scale=cache["v_scale"][layer],
+    )
 
 
 def read_kv(cache: dict, layer: int, dtype=jnp.float32):

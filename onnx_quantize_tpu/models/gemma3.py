@@ -155,7 +155,22 @@ class Gemma3Attention(nn.Module):
 
         if kv_write is not None:
             # Engine path: merge with cached K/V (see engine/kv_cache.py).
-            k, v = kv_write(self.layer_idx, k, v)
+            kv = kv_write(self.layer_idx, k, v)
+            from onnx_quantize_tpu.engine.kv_cache import QuantizedKV
+
+            if isinstance(kv, QuantizedKV):
+                # Fused decode attention over the raw int8 cache: one kernel
+                # per layer, no float cache materialization (T == 1 only).
+                from onnx_quantize_tpu.ops.kernels.flash_decode import flash_decode_int8
+
+                out = flash_decode_int8(
+                    q[:, 0], kv.k, kv.k_scale, kv.v, kv.v_scale,
+                    positions[:, 0],
+                    window=None if self.is_global else cfg.sliding_window,
+                )
+                out = out.reshape(B, T, cfg.num_heads * cfg.head_dim)
+                return self.o_proj(params["o_proj"], out.astype(x.dtype), ctx=ctx)
+            k, v = kv
         elif self._flash_ok(use_flash, T):
             # Full-sequence (prefill / perplexity) path: blockwise attention,
             # no (T, S) score matrix in HBM. The mask is reconstructed from
@@ -292,6 +307,9 @@ class Gemma3(nn.Module):
         # Attention implementation for the full-sequence (no-cache) path:
         # "auto" (flash on TPU at T >= 512), True, or False.
         self.use_flash: bool | str = "auto"
+        # Tensor-parallel marker set by tp_localize: all-gather the
+        # vocab-sharded logits over this axis at the very end.
+        self._tp_gather_logits: str | None = None
         self.finalize()
 
     def init(self, rng: jax.Array) -> dict:
@@ -330,4 +348,57 @@ class Gemma3(nn.Module):
             params, input_ids, ctx=ctx, positions=positions, kv_write=kv_write,
             kv_positions=kv_positions,
         )
-        return self.lm_head(params["lm_head"], x, ctx=ctx)
+        logits = self.lm_head(params["lm_head"], x, ctx=ctx)
+        if self._tp_gather_logits is not None:
+            # Column-parallel lm_head: one tiled all-gather of the
+            # vocab-sharded logits — the only gather in the whole TP forward.
+            logits = jax.lax.all_gather(
+                logits, self._tp_gather_logits, axis=logits.ndim - 1, tiled=True
+            )
+        return logits
+
+    def tp_localize(self, tp: int, axis: str = "model"):
+        """Per-shard model instance + sharding rules for whole-model TP.
+
+        Returns ``(local_model, rules)``: the local model has ``num_heads/tp``
+        query heads (KV heads shard too when divisible, else replicate — valid
+        only for MQA ``num_kv_heads == 1`` since GQA grouping is positional),
+        row-parallel psum markers on o_proj/down_proj, a vocab-sharded
+        embedding lookup, and the lm_head logits gather. Use its ``__call__``
+        *inside* ``shard_map`` with params localized by
+        ``parallel.tp.localize_params``.
+        """
+        cfg = self.cfg
+        if tp == 1:
+            rules = [(r".*", "replicate")]
+            return self, rules
+        if cfg.num_heads % tp != 0:
+            raise ValueError(f"num_heads={cfg.num_heads} not divisible by tp={tp}")
+        kv_sharded = cfg.num_kv_heads % tp == 0
+        if not kv_sharded and cfg.num_kv_heads != 1:
+            raise ValueError(
+                f"num_kv_heads={cfg.num_kv_heads} must divide tp or equal 1 "
+                "(positional GQA grouping breaks otherwise)"
+            )
+        local_cfg = dataclasses.replace(
+            cfg,
+            num_heads=cfg.num_heads // tp,
+            num_kv_heads=cfg.num_kv_heads // tp if kv_sharded else cfg.num_kv_heads,
+        )
+        local = Gemma3(local_cfg)
+        for block in local.blocks:
+            block.attn.o_proj.tp_reduce = axis
+            block.mlp.down_proj.tp_reduce = axis
+        local.embed.tp_vocab_axis = axis
+        local._tp_gather_logits = axis
+        kv_kind = "column" if kv_sharded else "replicate"
+        rules = [
+            (r"\.attn\.q_proj$", "column"),
+            (r"\.attn\.(k_proj|v_proj)$", kv_kind),
+            (r"\.attn\.o_proj$", "row"),
+            (r"\.mlp\.(gate_proj|up_proj)$", "column"),
+            (r"\.mlp\.down_proj$", "row"),
+            (r"^lm_head$", "column"),
+            (r"^embed$", "vocab"),
+        ]
+        return local, rules

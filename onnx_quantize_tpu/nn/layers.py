@@ -19,13 +19,27 @@ class Embedding(Module):
         self.vocab_size = vocab_size
         self.features = features
         self.dtype = dtype
+        # Tensor-parallel marker: when set (inside shard_map), the table is
+        # vocab-row-sharded over this axis; the lookup masks out-of-shard ids
+        # and psums the partial embeddings.
+        self.tp_vocab_axis: str | None = None
 
     def init(self, rng: jax.Array) -> dict:
         w = jax.random.normal(rng, (self.vocab_size, self.features)) * 0.02
         return {"w": w.astype(self.dtype)}
 
     def __call__(self, params, ids, ctx: Context | None = None):
-        return jnp.take(params["w"], ids, axis=0)
+        w = params["w"]
+        if self.tp_vocab_axis is not None:
+            axis = self.tp_vocab_axis
+            rows_local = w.shape[0]
+            start = jax.lax.axis_index(axis) * rows_local
+            local = ids - start
+            valid = (local >= 0) & (local < rows_local)
+            emb = jnp.take(w, jnp.clip(local, 0, rows_local - 1), axis=0)
+            emb = jnp.where(valid[..., None], emb, 0)
+            return jax.lax.psum(emb, axis)
+        return jnp.take(w, ids, axis=0)
 
 
 class RMSNorm(Module):

@@ -131,6 +131,10 @@ class Linear(Module):
         self.out_features = out_features
         self.use_bias = use_bias
         self.dtype = dtype
+        # Tensor-parallel row-parallel marker: when set to a mesh axis name
+        # (inside shard_map), the local partial product is psum'd over that
+        # axis before the bias is added (the Megatron row-parallel schedule).
+        self.tp_reduce: str | None = None
 
     @property
     def op_type(self) -> str:
@@ -173,7 +177,17 @@ class Linear(Module):
         if ctx is not None:
             ctx.collect(self._name, "input", x)
 
-        if isinstance(w, QTensor):
+        if self.tp_reduce is not None:
+            # Row-parallel: local matmul on the K-shard, one psum over the
+            # model axis, bias added afterwards (exactly once, replicated).
+            if isinstance(w, QTensor):
+                y = quantized_matmul(x, w, None)
+            else:
+                y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+            y = jax.lax.psum(y, self.tp_reduce)
+            if b is not None:
+                y = y + b
+        elif isinstance(w, QTensor):
             y = quantized_matmul(x, w, b)
         else:
             y = jnp.matmul(x, w, preferred_element_type=jnp.float32)

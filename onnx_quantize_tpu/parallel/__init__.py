@@ -4,6 +4,11 @@ from onnx_quantize_tpu.parallel.sharding import (
     qtensor_shardings,
     shard_params,
 )
+from onnx_quantize_tpu.parallel.tp import (
+    build_param_specs,
+    localize_params,
+    site_kind,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +17,7 @@ __all__ = [
     "GEMMA3_TP_RULES",
     "qtensor_shardings",
     "shard_params",
+    "build_param_specs",
+    "localize_params",
+    "site_kind",
 ]

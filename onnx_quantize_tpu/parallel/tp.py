@@ -1,0 +1,193 @@
+"""Whole-model tensor parallelism: spec trees + meta localization.
+
+The engine's multi-chip path (SURVEY.md §2B, parallelism row) runs the FULL
+forward under one ``shard_map`` region over a ``(data, model)`` mesh. Each
+device executes the production Pallas kernels on its local weight shard; the
+collectives are explicit and minimal — the Megatron schedule:
+
+  * column-parallel (q/k/v, gate/up, lm_head): weight N-sharded, input
+    replicated (within the data shard), output stays sharded and feeds the
+    paired row-parallel matmul directly — no all-gather,
+  * row-parallel (o_proj, down_proj): weight K-sharded, input feature-local,
+    one ``psum`` after the local matmul (``nn.Linear.tp_reduce``),
+  * embedding: vocab-row-sharded masked lookup + psum,
+  * lm_head: vocab-sharded logits, one tiled all-gather at the very end.
+
+That is exactly one psum per column->row pair and no gathers in the body —
+the schedule ``tp_ops.tp_pair_matmul`` implements per-pair, generalized to the
+whole model so XLA sees a single program and can overlap the collectives.
+
+This module holds the model-agnostic machinery:
+
+  * :func:`localize_params` — rewrite QTensor *metas* to per-shard shapes (the
+    arrays are sharded by ``shard_map`` itself; only the static shapes must
+    agree with what each device sees),
+  * :func:`build_param_specs` — a ``PartitionSpec`` pytree mirroring the
+    params tree, used both as ``shard_map`` in_specs and for ``device_put``.
+
+Models opt in by implementing ``tp_localize(tp, axis)`` returning a local
+model instance (per-shard head counts, psum/gather hooks set) plus the
+site-name -> kind rules; see ``models/gemma3.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+from jax.sharding import PartitionSpec as P
+
+from onnx_quantize_tpu._logging import get_logger
+from onnx_quantize_tpu.nn.qtensor import QBias, QTensor, QTensorMeta
+
+logger = get_logger(__name__)
+
+__all__ = [
+    "site_kind",
+    "localize_meta",
+    "localize_params",
+    "build_param_specs",
+]
+
+
+def site_kind(name: str, rules) -> str:
+    """First matching rule wins; unmatched sites replicate."""
+    for pattern, kind in rules:
+        if re.search(pattern, name):
+            return kind
+    return "replicate"
+
+
+def localize_meta(meta: QTensorMeta, tp: int, kind: str) -> QTensorMeta:
+    """Per-shard QTensorMeta for a column/row sharded quantized weight."""
+    K, N = meta.shape
+    if kind == "column":
+        if N % tp != 0:
+            raise ValueError(f"column-parallel N={N} not divisible by tp={tp}")
+        return dataclasses.replace(meta, shape=(K, N // tp))
+    if kind == "row":
+        if K % tp != 0:
+            raise ValueError(f"row-parallel K={K} not divisible by tp={tp}")
+        K_local = K // tp
+        if meta.packed:
+            # Group-pair nibble packing: a K-shard must hold whole groups and
+            # an even number of them, and non-GROUP packing interleaves the two
+            # K-halves into one virtual pair — unshardable along K.
+            gs = meta.pack_group
+            if meta.strat.value != "group":
+                raise ValueError(
+                    "row-parallel 4-bit weight requires GROUP strategy "
+                    f"(got {meta.strategy}: packing spans the K halves)"
+                )
+            if K_local % gs != 0 or (K_local // gs) % 2 != 0:
+                raise ValueError(
+                    f"row-parallel shard K/tp={K_local} must be an even "
+                    f"multiple of group_size={gs}"
+                )
+        return dataclasses.replace(meta, shape=(K_local, N))
+    return meta
+
+
+def _qtensor_spec(qt: QTensor, kind: str, axis: str) -> QTensor:
+    """A QTensor whose children are PartitionSpecs (shard_map in_specs node)."""
+    if kind == "column":
+        wspec = P(None, axis)
+        sspec = P() if qt.scale.ndim == 0 else (
+            P(axis) if qt.scale.ndim == 1 else P(None, axis)
+        )
+    elif kind == "row":
+        wspec = P(axis, None)
+        # grouped scales follow their K-groups; channel (N,) / tensor replicate
+        sspec = P(axis, None) if qt.scale.ndim == 2 else P()
+    else:
+        wspec = P()
+        sspec = P()
+
+    def act(x):
+        return None if x is None else P()
+
+    return QTensor(
+        data=wspec, scale=sspec, zero_point=sspec, meta=qt.meta,
+        input_scale=act(qt.input_scale),
+        input_zero_point=act(qt.input_zero_point),
+        output_scale=act(qt.output_scale),
+        output_zero_point=act(qt.output_zero_point),
+    )
+
+
+def localize_params(params: dict, rules, tp: int) -> dict:
+    """Rewrite QTensor metas to per-shard shapes per the TP rules.
+
+    Array leaves are returned as-is (sharding happens at the shard_map
+    boundary); only static metadata changes. Raises on fused horizontal sites
+    (``_fused_qkv`` etc.) — TP shards q/k/v individually.
+    """
+
+    def visit(tree, path):
+        if isinstance(tree, dict):
+            for key in tree:
+                if key.startswith("_fused"):
+                    raise ValueError(
+                        "TP requires unfused projections (found "
+                        f"{'.'.join(path + (key,))}); skip fuse_gemma3_projections "
+                        "when running with a mesh"
+                    )
+            return {k: visit(v, path + (k,)) for k, v in tree.items()}
+        name = ".".join(path[:-1])
+        if isinstance(tree, QTensor):
+            kind = site_kind(name, rules)
+            meta = localize_meta(tree.meta, tp, kind)
+            if kind == "row" and tree.meta.output_quant.mode == "static":
+                raise ValueError(
+                    f"row-parallel site {name} cannot requantize its output "
+                    "statically before the psum"
+                )
+            return QTensor(
+                tree.data, tree.scale, tree.zero_point, meta,
+                tree.input_scale, tree.input_zero_point,
+                tree.output_scale, tree.output_zero_point,
+            )
+        return tree
+
+    return visit(params, ())
+
+
+def build_param_specs(params: dict, rules, axis: str = "model"):
+    """PartitionSpec pytree mirroring ``params`` (QTensor nodes included).
+
+    Usable directly as shard_map ``in_specs`` and (wrapped in NamedSharding)
+    for ``device_put``. Kinds: column / row / replicate / vocab (embedding
+    rows over ``axis``).
+    """
+
+    def visit(tree, path):
+        if isinstance(tree, dict):
+            return {k: visit(v, path + (k,)) for k, v in tree.items()}
+        if tree is None:
+            return None
+        name = ".".join(path[:-1])
+        leaf_key = path[-1]
+        kind = site_kind(name, rules)
+        if isinstance(tree, QTensor):
+            return _qtensor_spec(tree, kind, axis)
+        if isinstance(tree, QBias):
+            spec = P(axis) if kind == "column" else P()
+            return QBias(data=spec, scale=P(), zero_point=P(), quant_type=tree.quant_type)
+        if leaf_key == "w" and getattr(tree, "ndim", 0) == 2:
+            if kind == "column":
+                return P(None, axis)
+            if kind == "row":
+                return P(axis, None)
+            if kind == "vocab":
+                return P(axis, None)
+            return P()
+        if leaf_key == "b":
+            # Row-parallel biases are added *after* the psum (Linear.tp_reduce),
+            # so they replicate; column-parallel biases shard with N.
+            return P(axis) if kind == "column" else P()
+        if leaf_key == "prescale":
+            # Prescale multiplies x's features: row-parallel x is feature-local.
+            return P(axis) if kind == "row" else P()
+        return P()
+
+    return visit(params, ())

@@ -21,7 +21,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from onnx_quantize_tpu.nn.qtensor import QTensor, QTensorMeta
@@ -67,7 +67,7 @@ def column_parallel_matmul(x, qt: QTensor, mesh: Mesh, *, axis: str = "model",
         mesh=mesh,
         in_specs=(P(), P(None, axis), scale_spec, scale_spec, P(axis)),
         out_specs=P(None, axis),
-        check_rep=False,
+        check_vma=False,
     )(x, qt.data, qt.scale, qt.zero_point, bias)
     return out
 
@@ -91,7 +91,7 @@ def row_parallel_matmul(x, qt: QTensor, mesh: Mesh, *, axis: str = "model",
         mesh=mesh,
         in_specs=(P(None, axis), P(axis, None), scale_spec, scale_spec),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(x, qt.data, qt.scale, qt.zero_point)
     if bias is not None:
         out = out + bias
@@ -138,6 +138,6 @@ def tp_pair_matmul(x, qt_up: QTensor, qt_down: QTensor, mesh: Mesh,
             P(axis, None), sspec(qt_down.scale, "row"), sspec(qt_down.zero_point, "row"),
         ),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(x, qt_up.data, qt_up.scale, qt_up.zero_point,
       qt_down.data, qt_down.scale, qt_down.zero_point)
