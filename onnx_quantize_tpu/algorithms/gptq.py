@@ -21,10 +21,11 @@ quantized accuracy over the reference at identical configs.
 
 TPU-first design: the sequential column loop is expressed as a
 ``lax.fori_loop`` over masked rank-1 updates inside a single jit (columns padded
-to a block multiple with numerically-transparent zero rows), so the whole sweep
-compiles to one XLA program per weight shape. A host (numpy) implementation with
-identical semantics covers the ragged-group and in-loop-MSE cases and serves as
-the test oracle.
+to a block-and-group multiple with numerically-transparent zero rows), so the
+whole sweep compiles to one XLA program per weight shape — including mse (the
+shrink-grid search runs in-jit with an exact patience emulation) and ragged
+groups. A host (numpy) implementation with identical semantics serves as the
+test oracle (``_force_host``).
 """
 
 from __future__ import annotations
@@ -43,8 +44,6 @@ from onnx_quantize_tpu.core.enums import QuantizationStrategy
 from onnx_quantize_tpu.core.numerics import (
     compute_qparams,
     compute_qparams_from_array,
-    postprocess_array,
-    preprocess_array,
 )
 from onnx_quantize_tpu.core.qconfig import AlgorithmConfig, register_algorithm_config
 
@@ -150,15 +149,58 @@ def _channelwise_qparams(w_slice_t, quant_type, is_symmetric, reduce_range, clip
     return np.squeeze(np.asarray(scale)), np.squeeze(np.asarray(zp))
 
 
+def _mse_min_max_cols(w, quant_type, sym, rr, *, maxshrink=0.20, patience=5,
+                      grid=100.0, norm=2.4):
+    """In-jit MSE range search over a (rows, N) slice, per column (axis 0).
+
+    Trace-compatible replica of ``numerics.compute_min_max_mse``
+    (ref ``utils.py:140-239``): the host loop's early-stop-after-patience is
+    emulated with an ``active`` flag that freezes updates, which is exactly
+    equivalent to breaking (skipped iterations never apply updates).
+    """
+    from onnx_quantize_tpu.core.numerics import fake_quantize
+
+    rmin = jnp.minimum(jnp.min(w, axis=0), 0.0)
+    rmax = jnp.maximum(jnp.max(w, axis=0), 0.0)
+    steps = int(maxshrink * grid)
+
+    def body(i, carry):
+        best_err, bmin, bmax, no_imp = carry
+        p = 1.0 - i.astype(jnp.float32) / grid
+        s, z = compute_qparams(
+            p * rmin, p * rmax, quant_type, sym, rr,
+            scale_dtype=np.float32, zp_dtype=np.float32,
+        )
+        q = fake_quantize(w, s, z, quant_type, sym, rr)
+        err = jnp.sum(jnp.power(jnp.abs(q - w), norm), axis=0)
+        improved = err < best_err
+        active = no_imp < patience
+        do = jnp.logical_and(improved, active)
+        best_err = jnp.where(do, err, best_err)
+        bmin = jnp.where(do, p * rmin, bmin)
+        bmax = jnp.where(do, p * rmax, bmax)
+        no_imp = jnp.where(
+            active, jnp.where(jnp.any(improved), 0, no_imp + 1), no_imp
+        )
+        return best_err, bmin, bmax, no_imp
+
+    init = (
+        jnp.full(rmin.shape, float(np.finfo(np.float32).max), jnp.float32),
+        rmin, rmax, jnp.int32(0),
+    )
+    _, bmin, bmax, _ = jax.lax.fori_loop(0, steps, body, init)
+    return bmin, bmax
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "qmin", "qmax", "block_size", "group_size", "use_group",
-        "sym", "rr", "clip_ratio", "qt_name",
+        "sym", "rr", "clip_ratio", "qt_name", "mse",
     ),
 )
 def _gptq_sweep_jit(W, Hinv, scale0, zp0, *, qmin, qmax, block_size, group_size,
-                    use_group, sym, rr, clip_ratio, qt_name):
+                    use_group, sym, rr, clip_ratio, qt_name, mse):
     """One-XLA-program GPTQ block sweep over a zero-padded (K_pad, N) weight."""
     K_pad, N = W.shape
     num_blocks = K_pad // block_size
@@ -167,11 +209,14 @@ def _gptq_sweep_jit(W, Hinv, scale0, zp0, *, qmin, qmax, block_size, group_size,
     def recompute_group_qparams(W_full, c):
         # Per-group channelwise qparams from the block-updated full weight,
         # matching the reference's read of W[(c):(c+gs), :] (gptq.py:168-184).
+        # With mse, the shrink-grid search replaces the raw min/max (and
+        # clip_ratio is bypassed, as in numerics.compute_qparams_from_array).
         w_slice = jax.lax.dynamic_slice(W_full, (c, 0), (group_size, N))
-        rmin = jnp.min(w_slice, axis=0) * clip_ratio
-        rmax = jnp.max(w_slice, axis=0) * clip_ratio
-        rmin = jnp.minimum(rmin, 0.0)
-        rmax = jnp.maximum(rmax, 0.0)
+        if mse:
+            rmin, rmax = _mse_min_max_cols(w_slice, quant_type, sym, rr)
+        else:
+            rmin = jnp.minimum(jnp.min(w_slice, axis=0) * clip_ratio, 0.0)
+            rmax = jnp.maximum(jnp.max(w_slice, axis=0) * clip_ratio, 0.0)
         scale, zp = compute_qparams(
             rmin, rmax, quant_type, sym, rr, scale_dtype=np.float32, zp_dtype=np.float32
         )
@@ -320,11 +365,25 @@ def gptq_quantize(
     mse: bool = False,
     scale_dtype=np.float32,
     zp_dtype=np.int8,
+    _force_host: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """GPTQ-quantize a ``(in_features, out_features)`` weight.
 
     ``inputs`` are captured activations of shape ``(samples, ..., in_features)``.
     Returns ``(q_weight, scale, zero_point)`` in the reference's artifact layout.
+
+    Every config runs the single-XLA-program jit sweep (mse uses the in-jit
+    shrink-grid search; ragged groups are zero-padded, which is exact — padded
+    rows quantize with zero error and the zero-in-range clamp makes them
+    min/max-transparent). ``_force_host`` routes to the numpy oracle sweep
+    (tests only).
+
+    actorder x GROUP uses a *group-aligned* permutation (full groups reordered
+    by descending max diag(H), rows ordered within each group, ragged tail
+    kept last): loop groups then coincide with original groups, so the emitted
+    scales are exact — unlike the reference, whose actorder+group artifact
+    requantizes from the dequantized result (``gptq.py:218-231``), losing the
+    error-corrected values.
     """
     W = np.asarray(weights, dtype=np.float32).copy()
     K, N = W.shape
@@ -357,8 +416,28 @@ def gptq_quantize(
     W[dead, :] = 0.0
 
     perm = None
+    group_order = None
     if actorder:
-        perm = np.argsort(np.diag(H))[::-1]
+        d = np.diag(H).copy()
+        if use_group:
+            # Group-aligned activation order: reorder full groups by their max
+            # diag(H) (most sensitive group first) and rows within each group
+            # by diag(H); a ragged tail group stays last. Loop groups therefore
+            # equal original groups, keeping the emitted scales exact.
+            gs_i = int(group_size)
+            n_full = K // gs_i
+            parts, scores = [], []
+            for g in range(n_full):
+                rows = np.arange(g * gs_i, (g + 1) * gs_i)
+                parts.append(rows[np.argsort(d[rows])[::-1]])
+                scores.append(d[rows].max())
+            group_order = np.argsort(np.asarray(scores))[::-1]
+            perm = np.concatenate([parts[g] for g in group_order])
+            if K % gs_i:
+                tail = np.arange(n_full * gs_i, K)
+                perm = np.concatenate([perm, tail[np.argsort(d[tail])[::-1]]])
+        else:
+            perm = np.argsort(d)[::-1]
         W = W[perm, :]
         H = H[perm, :][:, perm]
 
@@ -374,12 +453,18 @@ def gptq_quantize(
 
     qmin, qmax = quant_type.qrange(is_symmetric, reduce_range)
     gs = int(group_size) if use_group else -1
+    n_groups = -(-K // gs) if use_group else 1
 
-    jit_ok = (not mse) and (not use_group or K % gs == 0)
-    if jit_ok:
-        # Pad K to a block multiple; zero rows + identity Hinv diagonal are
-        # numerically transparent (err = 0) so results match the unpadded sweep.
-        K_pad = ((K + block_size - 1) // block_size) * block_size
+    if not _force_host:
+        # Pad K to a multiple of block_size (and of gs, so group recomputes
+        # stay aligned across ragged tails). Zero rows are numerically
+        # transparent: they quantize with zero error against the identity
+        # Hinv diagonal, and the zero-in-range clamp makes them invisible to
+        # both the min/max and the mse group recomputes.
+        align = block_size
+        if use_group:
+            align = block_size * gs // math.gcd(block_size, gs)
+        K_pad = ((K + align - 1) // align) * align
         if K_pad != K:
             W_p = np.zeros((K_pad, N), dtype=np.float32)
             W_p[:K] = W
@@ -393,13 +478,13 @@ def gptq_quantize(
             qmin=qmin, qmax=qmax, block_size=block_size,
             group_size=gs if use_group else 1, use_group=bool(use_group),
             sym=is_symmetric, rr=reduce_range, clip_ratio=float(clip_ratio),
-            qt_name=quant_type.value,
+            qt_name=quant_type.value, mse=bool(mse),
         )
         Q = np.asarray(Q)[:K]
         Qint = np.asarray(Qint)[:K]
         if use_group:
-            g_scales = np.asarray(g_scales)[: K // gs]
-            g_zps = np.asarray(g_zps)[: K // gs]
+            g_scales = np.asarray(g_scales)[:n_groups]
+            g_zps = np.asarray(g_zps)[:n_groups]
     else:
         Q, Qint, g_scales, g_zps = _gptq_sweep_host(
             W, Hinv, scale, zp, qmin=qmin, qmax=qmax, block_size=block_size,
@@ -425,29 +510,23 @@ def gptq_quantize(
     elif strategy == QuantizationStrategy.CHANNEL:
         out_scale = np.asarray(scale, dtype=np.float32)
         out_zp = np.asarray(zp)
-    elif not actorder:
-        # GROUP: loop scales collected as (n_groups, N); emit the reference
-        # artifact layout (N * n_groups, 1), row-major over out channels.
+    else:
+        # GROUP: loop scales collected as (n_groups, N). With (group-aligned)
+        # actorder, loop group j is original group group_order[j] — scatter
+        # back, then emit the reference artifact layout (N * n_groups, 1),
+        # row-major over out channels.
+        if group_order is not None:
+            restored_s = np.empty_like(g_scales)
+            restored_z = np.empty_like(g_zps)
+            n_full = len(group_order)
+            restored_s[group_order] = g_scales[:n_full]
+            restored_z[group_order] = g_zps[:n_full]
+            if n_groups > n_full:  # ragged tail group stayed last
+                restored_s[n_full:] = g_scales[n_full:]
+                restored_z[n_full:] = g_zps[n_full:]
+            g_scales, g_zps = restored_s, restored_z
         out_scale = g_scales.T.reshape(-1, 1).astype(np.float32)
         out_zp = g_zps.T.reshape(-1, 1)
-    else:
-        # GROUP + actorder: loop groups span permuted channels, which the
-        # unpermuted group layout cannot express. Recompute qparams from the
-        # dequantized result and requantize so the triple stays consistent.
-        Q_pre = np.asarray(preprocess_array(Q, strategy, group_size))
-        s2, z2 = compute_qparams_from_array(
-            Q_pre, quant_type, strategy, group_size, is_symmetric, reduce_range,
-            clip_ratio=clip_ratio, mse=mse, scale_dtype=scale_dtype,
-            zp_dtype=np.float32,
-        )
-        s2, z2 = np.asarray(s2), np.asarray(z2)
-        q2 = np.clip(
-            np.round(Q_pre / s2).astype(np.int32) + z2.astype(np.int32), qmin, qmax
-        )
-        Qint = np.asarray(
-            postprocess_array(q2, Q.shape, strategy, group_size)
-        ).astype(quant_type.container_dtype)
-        out_scale, out_zp = s2.astype(np.float32), z2
 
     out_zp = np.asarray(out_zp).astype(Qint.dtype)
     return Qint, out_scale, out_zp
