@@ -14,6 +14,10 @@
 #include <cstring>
 #include <algorithm>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
 
 // Pack (K, N) int8 container values (4-bit range) into the group-pair nibble
@@ -23,6 +27,11 @@ extern "C" {
 void oqt_pack_group_pairs(const int8_t* q, uint8_t* out, int64_t K, int64_t N,
                           int64_t gs, int64_t n_groups_pad) {
   const int64_t half_groups = n_groups_pad / 2;
+  // Parallel over packed rows (independent); the byte-wise inner loop
+  // auto-vectorizes under -O3 (simple AND/OR/shift over contiguous bytes).
+#ifdef _OPENMP
+#pragma omp parallel for collapse(2) schedule(static) if (half_groups * gs * N > (1 << 20))
+#endif
   for (int64_t p = 0; p < half_groups; ++p) {
     for (int64_t r = 0; r < gs; ++r) {
       const int64_t low_row = (2 * p) * gs + r;
@@ -30,10 +39,22 @@ void oqt_pack_group_pairs(const int8_t* q, uint8_t* out, int64_t K, int64_t N,
       uint8_t* dst = out + (p * gs + r) * N;
       const int8_t* low_src = low_row < K ? q + low_row * N : nullptr;
       const int8_t* high_src = high_row < K ? q + high_row * N : nullptr;
-      for (int64_t n = 0; n < N; ++n) {
-        const uint8_t lo = low_src ? static_cast<uint8_t>(low_src[n]) & 0x0F : 0;
-        const uint8_t hi = high_src ? static_cast<uint8_t>(high_src[n]) & 0x0F : 0;
-        dst[n] = static_cast<uint8_t>(lo | (hi << 4));
+      if (low_src && high_src) {
+        // Hot path: branch-free, vectorizable.
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+        for (int64_t n = 0; n < N; ++n) {
+          dst[n] = static_cast<uint8_t>(
+              (static_cast<uint8_t>(low_src[n]) & 0x0F) |
+              ((static_cast<uint8_t>(high_src[n]) & 0x0F) << 4));
+        }
+      } else {
+        for (int64_t n = 0; n < N; ++n) {
+          const uint8_t lo = low_src ? static_cast<uint8_t>(low_src[n]) & 0x0F : 0;
+          const uint8_t hi = high_src ? static_cast<uint8_t>(high_src[n]) & 0x0F : 0;
+          dst[n] = static_cast<uint8_t>(lo | (hi << 4));
+        }
       }
     }
   }
@@ -43,8 +64,9 @@ void oqt_pack_group_pairs(const int8_t* q, uint8_t* out, int64_t K, int64_t N,
 // signed_ != 0 applies two's-complement nibble decoding ([8,15] -> [-8,-1]).
 void oqt_unpack_group_pairs(const uint8_t* packed, int8_t* out, int64_t K,
                             int64_t N, int64_t gs, int signed_) {
-  const int64_t half_rows = ((K + 2 * gs - 1) / (2 * gs)) * gs;  // >= ceil
-  (void)half_rows;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (K * N > (1 << 20))
+#endif
   for (int64_t row = 0; row < K; ++row) {
     const int64_t p = row / (2 * gs);
     const int64_t within = row % (2 * gs);
@@ -52,10 +74,23 @@ void oqt_unpack_group_pairs(const uint8_t* packed, int8_t* out, int64_t K,
     const int64_t r = high ? within - gs : within;
     const uint8_t* src = packed + (p * gs + r) * N;
     int8_t* dst = out + row * N;
-    for (int64_t n = 0; n < N; ++n) {
-      int v = high ? (src[n] >> 4) & 0x0F : src[n] & 0x0F;
-      if (signed_ && v > 7) v -= 16;
-      dst[n] = static_cast<int8_t>(v);
+    const int shift = high ? 4 : 0;
+    if (signed_) {
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+      for (int64_t n = 0; n < N; ++n) {
+        // Sign-extend the nibble: (v ^ 8) - 8 maps [8,15] -> [-8,-1].
+        const int v = (src[n] >> shift) & 0x0F;
+        dst[n] = static_cast<int8_t>((v ^ 8) - 8);
+      }
+    } else {
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+      for (int64_t n = 0; n < N; ++n) {
+        dst[n] = static_cast<int8_t>((src[n] >> shift) & 0x0F);
+      }
     }
   }
 }
@@ -64,10 +99,16 @@ void oqt_unpack_group_pairs(const uint8_t* packed, int8_t* out, int64_t K,
 // RTN/channel/group qparam computation and the MinMax calibrator.
 void oqt_minmax_rows(const float* x, float* mins, float* maxs, int64_t rows,
                      int64_t cols) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (rows * cols > (1 << 20))
+#endif
   for (int64_t r = 0; r < rows; ++r) {
     const float* row = x + r * cols;
     float mn = row[0], mx = row[0];
-    for (int64_t c = 1; c < cols; ++c) {
+#ifdef _OPENMP
+#pragma omp simd reduction(min : mn) reduction(max : mx)
+#endif
+    for (int64_t c = 0; c < cols; ++c) {
       mn = std::min(mn, row[c]);
       mx = std::max(mx, row[c]);
     }
@@ -79,7 +120,11 @@ void oqt_minmax_rows(const float* x, float* mins, float* maxs, int64_t rows,
 // Global min/max (the per-tensor calibrator path).
 void oqt_minmax_all(const float* x, int64_t size, float* out_min, float* out_max) {
   float mn = x[0], mx = x[0];
-  for (int64_t i = 1; i < size; ++i) {
+#ifdef _OPENMP
+#pragma omp parallel for simd schedule(static) reduction(min : mn) \
+    reduction(max : mx) if (size > (1 << 20))
+#endif
+  for (int64_t i = 0; i < size; ++i) {
     mn = std::min(mn, x[i]);
     mx = std::max(mx, x[i]);
   }
