@@ -58,8 +58,12 @@ def _fd_kernel(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
         q = q_ref[0, 0]  # (Gp, D) f32, pre-scaled
         # Mosaic has no direct i8->f32 cast; go via int32.
         kf = k_ref[0, :, 0, :].astype(jnp.int32).astype(jnp.float32)  # (bs, D)
+        # HIGHEST: the MXU's default f32 precision is bf16 passes, which costs
+        # ~0.5% relative on the scores — visible after softmax. The extra MXU
+        # passes are free here (the kernel is HBM-bound on the int8 cache).
         scores = jax.lax.dot_general(
-            q, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (Gp, bs)
         scores = scores * ks_ref[0, 0, :][None, :]
 
@@ -80,7 +84,8 @@ def _fd_kernel(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
         vf = v_ref[0, :, 0, :].astype(jnp.int32).astype(jnp.float32)  # (bs, D)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            pv, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pv, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         m_ref[:] = m_new
 
