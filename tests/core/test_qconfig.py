@@ -260,3 +260,138 @@ class TestCalibrationParams:
             CalibrationParams(num_samples=0)
         with pytest.raises(ValueError, match="positive"):
             CalibrationParams(batch_size=-1)
+
+
+class TestFourBitActivationCrosses:
+    """Per-dtype 4-bit x activations rejections (reference
+    ``test_qconfig.py:83-128`` parametrizes input/output/both separately)."""
+
+    @pytest.mark.parametrize("wdtype", ["int4", "uint4"])
+    def test_input_only(self, wdtype):
+        with pytest.raises(NotImplementedError, match="weights_only"):
+            QConfig(
+                weights=QWeightArgs(dtype=wdtype, group_size=32),
+                input_activations=QActivationArgs(dtype="uint8"),
+            )
+
+    @pytest.mark.parametrize("wdtype", ["int4", "uint4"])
+    def test_output_only(self, wdtype):
+        with pytest.raises(NotImplementedError, match="weights_only"):
+            QConfig(
+                weights=QWeightArgs(dtype=wdtype, group_size=32),
+                output_activations=QActivationArgs(dtype="uint8"),
+            )
+
+    @pytest.mark.parametrize("wdtype", ["int4", "uint4"])
+    def test_both(self, wdtype):
+        with pytest.raises(NotImplementedError, match="weights_only"):
+            QConfig(
+                weights=QWeightArgs(dtype=wdtype, group_size=32),
+                input_activations=QActivationArgs(dtype="uint8"),
+                output_activations=QActivationArgs(dtype="uint8"),
+            )
+
+    def test_group_input_only(self):
+        with pytest.raises(NotImplementedError, match="weights_only"):
+            QConfig(
+                weights=QWeightArgs(dtype="int8", group_size=32),
+                input_activations=QActivationArgs(dtype="uint8"),
+            )
+
+    def test_group_output_only(self):
+        with pytest.raises(NotImplementedError, match="weights_only"):
+            QConfig(
+                weights=QWeightArgs(dtype="int8", group_size=32),
+                output_activations=QActivationArgs(dtype="uint8"),
+            )
+
+
+class TestQLinearRejectionPaths:
+    """Split qlinear rejections (reference ``test_qconfig.py:150-199``)."""
+
+    def test_missing_input_activations_only(self):
+        with pytest.raises(ValueError, match="both input and output activation"):
+            QConfig(
+                format="qlinear",
+                weights=QWeightArgs(dtype="int8", group_size=-1, symmetric=True),
+                output_activations=QActivationArgs(dtype="uint8"),
+            )
+
+    def test_missing_output_activations_only(self):
+        with pytest.raises(ValueError, match="both input and output activation"):
+            QConfig(
+                format="qlinear",
+                weights=QWeightArgs(dtype="int8", group_size=-1, symmetric=True),
+                input_activations=QActivationArgs(dtype="uint8"),
+            )
+
+    def test_dynamic_activations_rejected(self):
+        # both dynamic passes the static/dynamic-match check but qlinear
+        # requires static activations
+        with pytest.raises(ValueError, match="static"):
+            QConfig(
+                format="qlinear",
+                weights=QWeightArgs(dtype="int8", group_size=-1, symmetric=True),
+                input_activations=QActivationArgs(dtype="uint8", is_static=False),
+                output_activations=QActivationArgs(dtype="uint8", is_static=False),
+            )
+
+
+class TestHqqConstraintGrid:
+    @pytest.mark.parametrize("gs", [16, 32, 64, 128, 1024])
+    def test_valid_group_sizes(self, gs):
+        QWeightArgs(
+            dtype="uint4", strategy="group", group_size=gs, algorithm=HqqConfig()
+        )
+
+    @pytest.mark.parametrize("gs", [24, 48, 100])
+    def test_non_power_of_two_rejected(self, gs):
+        with pytest.raises(ValueError, match="power of 2"):
+            QWeightArgs(
+                dtype="uint4", strategy="group", group_size=gs, algorithm=HqqConfig()
+            )
+
+    def test_small_group_rejected(self):
+        with pytest.raises(ValueError, match="power of 2|greater"):
+            QWeightArgs(
+                dtype="uint4", strategy="group", group_size=8, algorithm=HqqConfig()
+            )
+
+    def test_custom_parameters_roundtrip(self):
+        args = QWeightArgs(
+            dtype="uint4", strategy="group", group_size=64,
+            algorithm=HqqConfig(lp_norm=1.0, beta=5.0, kappa=1.05, iters=7,
+                                early_stop=False),
+        )
+        dumped = args.algorithm.model_dump()
+        assert dumped["lp_norm"] == 1.0
+        assert dumped["iters"] == 7
+        assert dumped["algorithm_type"] == "hqq"
+
+    def test_zp_dtype_forced_to_scale_dtype(self):
+        args = QWeightArgs(
+            dtype="uint4", strategy="group", group_size=64, algorithm=HqqConfig()
+        )
+        assert args.zp_dtype == args.scale_dtype == np.float32
+
+
+class TestGptqConfigSurface:
+    def test_group_strategy_valid(self):
+        # GPTQ composes with group quantization (reference
+        # ``test_qconfig.py:305-314`` asserts this is accepted).
+        args = QWeightArgs(
+            dtype="int4", strategy="group", group_size=32,
+            algorithm=GPTQConfig(block_size=64),
+        )
+        assert args.algorithm.block_size == 64
+
+    def test_requires_calibration_flag(self):
+        assert GPTQConfig.requires_calibration is True
+        assert HqqConfig.requires_calibration is False
+
+    def test_actorder_mse_compose(self):
+        args = QWeightArgs(
+            dtype="uint4", group_size=32, mse=True,
+            algorithm=GPTQConfig(actorder=True),
+        )
+        assert args.mse and args.algorithm.actorder

@@ -247,3 +247,77 @@ def test_invalid_inputs():
         quantize(model, {}, {"weights": None})
     with pytest.raises(TypeError, match="model"):
         quantize("not a model", {}, QConfig())
+
+
+@pytest.mark.parametrize("dtype", ["int8", "uint8"])
+@pytest.mark.parametrize("group_size", [None, -1, 8])
+def test_weights_only_reduce_range(rng, dtype, group_size):
+    """reduce_range axis of the reference e2e grid (test_quantize.py:143-171):
+    container values must stay inside the reduced range table
+    (int8 -> [-64, 64], uint8 -> [0, 127]) and output stays close."""
+    model = TwoMatMul()
+    qc = QConfig(
+        weights=QWeightArgs(dtype=dtype, group_size=group_size, reduce_range=True)
+    )
+    qparams, plan = _run_quantize(rng, model, qc)
+    lo, hi = (-64, 64) if dtype == "int8" else (0, 127)
+    for entry in plan:
+        qt = qparams[entry.site.param_path[0]]["w"]
+        assert qt.meta.reduce_range
+        data = np.asarray(qt.data).astype(np.int32)
+        assert data.min() >= lo and data.max() <= hi
+
+
+@pytest.mark.parametrize("dtype", ["int4", "uint4"])
+def test_weights_only_reduce_range_4bit(rng, dtype):
+    """Reduced 4-bit ranges: uint4 -> [0, 7], int4 -> [-4, 3]."""
+    model = TwoMatMul()
+    qc = QConfig(weights=QWeightArgs(dtype=dtype, group_size=8, reduce_range=True))
+    params = model.random_params(rng)
+    qparams, plan = quantize(model, params, qc)
+    assert np.all(np.isfinite(np.asarray(model(qparams, _x(rng)))))
+    from onnx_quantize_tpu.nn.qtensor import unpack_k_pairs
+
+    lo, hi = (-4, 3) if dtype == "int4" else (0, 7)
+    for entry in plan:
+        qt = qparams[entry.site.param_path[0]]["w"]
+        vals = np.asarray(
+            unpack_k_pairs(qt.data, qt.meta.shape[0], dtype == "int4", qt.meta.pack_group)
+        ).astype(np.int32)
+        assert vals.min() >= lo and vals.max() <= hi
+
+
+@pytest.mark.parametrize("dtype", ["int4", "uint4", "int8"])
+@pytest.mark.parametrize("group_size", [-1, 8])
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_weights_only_mse_grid(rng, dtype, group_size, symmetric):
+    """mse x group x 4-bit crosses (reference grid axis the r1 suite lacked).
+
+    MSE-searched qparams must never do worse on weight MSE than plain minmax
+    — checked per site against the dequantized weights."""
+    if dtype == "int4" and not symmetric:
+        pass  # asymmetric int4 is legal; keep the cross
+    model = TwoMatMul()
+    params = model.random_params(rng)
+
+    def wmse(qparams):
+        total = 0.0
+        for name in ("fc1", "fc2"):
+            w = np.asarray(params[name]["w"])
+            qt = qparams[name]["w"]
+            from onnx_quantize_tpu.ops.reference import dequantize_weight
+
+            total += float(np.mean((np.asarray(dequantize_weight(qt)) - w) ** 2))
+        return total
+
+    qc_mm = QConfig(
+        weights=QWeightArgs(dtype=dtype, group_size=group_size, symmetric=symmetric)
+    )
+    qc_mse = QConfig(
+        weights=QWeightArgs(
+            dtype=dtype, group_size=group_size, symmetric=symmetric, mse=True
+        )
+    )
+    q_mm, _ = quantize(model, params, qc_mm)
+    q_mse, _ = quantize(model, params, qc_mse)
+    assert wmse(q_mse) <= wmse(q_mm) * 1.0001
