@@ -125,22 +125,42 @@ def perplexity_eval(
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--checkpoint", required=True,
+    source = parser.add_mutually_exclusive_group(required=True)
+    source.add_argument("--checkpoint",
                         help="Path to a framework checkpoint (see checkpoint.py).")
+    source.add_argument("--hf-weights",
+                        help="HF safetensors dir for google/gemma-3-270m: "
+                             "score the fp32 model without a checkpoint.")
     parser.add_argument("--model-id", default="google/gemma-3-270m")
     parser.add_argument("--tokens", default=None, help="Pre-tokenized .npy file.")
     parser.add_argument("--text", default=None, help="Raw text file to tokenize.")
     parser.add_argument("--max-length", type=int, default=2048)
     parser.add_argument("--stride", type=int, default=512)
+    parser.add_argument("--cpu", action="store_true",
+                        help="Force the CPU backend (some environments pin an "
+                             "accelerator platform before env vars are read).")
     args = parser.parse_args()
 
-    from onnx_quantize_tpu.checkpoint import load_checkpoint
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
-    model, params = load_checkpoint(args.checkpoint)
-    perplexity_eval(
+    if args.hf_weights:
+        from onnx_quantize_tpu.models.gemma3 import GEMMA3_270M, Gemma3
+        from onnx_quantize_tpu.models.import_hf import load_gemma3_hf
+
+        model = Gemma3(GEMMA3_270M)
+        params = load_gemma3_hf(model, args.hf_weights)
+    else:
+        from onnx_quantize_tpu.checkpoint import load_checkpoint
+
+        model, params = load_checkpoint(args.checkpoint)
+    ppl = perplexity_eval(
         model, params, model_id=args.model_id, tokens_path=args.tokens,
         text_path=args.text, max_length=args.max_length, stride=args.stride,
     )
+    # Explicit print: under ``python -m`` this module's logger is named
+    # __main__ (outside the package logging config), so INFO lines are silent.
+    print(f"perplexity: {ppl:.4f}")
 
 
 if __name__ == "__main__":
