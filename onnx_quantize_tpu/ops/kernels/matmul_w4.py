@@ -29,38 +29,44 @@ from onnx_quantize_tpu.ops.kernels import register_kernel
 __all__ = ["w4_dequant_matmul"]
 
 
-def _w4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, signed, n_pairs,
-               compute_dtype):
+def _w4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, signed, n_k,
+               pairs_per_block, compute_dtype):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Nibble unpack in registers. Mosaic lacks a direct u8->f32 cast, so go
-    # through int32.
-    w = w_ref[:].astype(jnp.int32)
-    low_s = w & 0x0F
-    high_s = (w >> 4) & 0x0F
-    if signed:
-        low_f = jnp.where(low_s > 7, low_s - 16, low_s).astype(jnp.float32)
-        high_f = jnp.where(high_s > 7, high_s - 16, high_s).astype(jnp.float32)
-    else:
-        low_f = low_s.astype(jnp.float32)
-        high_f = high_s.astype(jnp.float32)
+    # ``pairs_per_block`` group pairs per grid step (statically unrolled):
+    # small-K fat-N shapes (the 262k lm_head) are otherwise bound by per-grid-
+    # instance overhead (~1.5 us each on this runtime), not bandwidth.
+    for p in range(pairs_per_block):
+        # Nibble unpack in registers. Mosaic lacks a direct u8->f32 cast, so
+        # go through int32.
+        w = w_ref[p * gs : (p + 1) * gs, :].astype(jnp.int32)
+        low_s = w & 0x0F
+        high_s = (w >> 4) & 0x0F
+        if signed:
+            low_f = jnp.where(low_s > 7, low_s - 16, low_s).astype(jnp.float32)
+            high_f = jnp.where(high_s > 7, high_s - 16, high_s).astype(jnp.float32)
+        else:
+            low_f = low_s.astype(jnp.float32)
+            high_f = high_s.astype(jnp.float32)
 
-    # Scale/zp rows for groups 2k and 2k+1. Scales arrive as (G/2, 2, N)
-    # blocked (1, 2, bn) so the pair is selected by the grid index — Mosaic
-    # cannot prove sublane alignment for an in-kernel dynamic 2k row slice.
-    dq_low = ((low_f - z_ref[0, 0:1, :]) * s_ref[0, 0:1, :]).astype(compute_dtype)
-    dq_high = ((high_f - z_ref[0, 1:2, :]) * s_ref[0, 1:2, :]).astype(compute_dtype)
+        # Scale/zp rows for groups 2(kP+p), 2(kP+p)+1. Scales arrive (G/2, 2, N)
+        # blocked (P, 2, bn); the pair is selected by grid index + static p —
+        # Mosaic cannot prove sublane alignment for dynamic 2k row slices.
+        dq_low = ((low_f - z_ref[p, 0:1, :]) * s_ref[p, 0:1, :]).astype(compute_dtype)
+        dq_high = ((high_f - z_ref[p, 1:2, :]) * s_ref[p, 1:2, :]).astype(compute_dtype)
 
-    x = x_ref[:]
-    acc_ref[:] += jnp.dot(
-        x[:, :gs], dq_low, preferred_element_type=jnp.float32
-    ) + jnp.dot(x[:, gs:], dq_high, preferred_element_type=jnp.float32)
+        x = x_ref[:]
+        lo = 2 * p * gs
+        acc_ref[:] += jnp.dot(
+            x[:, lo : lo + gs], dq_low, preferred_element_type=jnp.float32
+        ) + jnp.dot(x[:, lo + gs : lo + 2 * gs], dq_high,
+                    preferred_element_type=jnp.float32)
 
-    @pl.when(k == n_pairs - 1)
+    @pl.when(k == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
@@ -76,26 +82,34 @@ def _pad_axis(a, axis, to):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("gs", "signed", "bm", "bn", "interpret", "out_dtype")
+    jax.jit,
+    static_argnames=("gs", "signed", "bm", "bn", "ppb", "interpret", "out_dtype"),
 )
-def _w4_call(x2d, data, scales, zps, *, gs, signed, bm, bn, interpret, out_dtype):
+def _w4_call(x2d, data, scales, zps, *, gs, signed, bm, bn, ppb, interpret,
+             out_dtype):
     M, K_pad = x2d.shape
     half_rows, N = data.shape
     n_pairs = half_rows // gs
+    n_k = n_pairs // ppb
     compute_dtype = x2d.dtype
 
-    grid = (M // bm, N // bn, n_pairs)
+    grid = (M // bm, N // bn, n_k)
     kernel = functools.partial(
-        _w4_kernel, gs=gs, signed=signed, n_pairs=n_pairs, compute_dtype=compute_dtype
+        _w4_kernel, gs=gs, signed=signed, n_k=n_k, pairs_per_block=ppb,
+        compute_dtype=compute_dtype,
     )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, 2 * gs), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 2 * ppb * gs), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ppb * gs, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ppb, 2, bn), lambda i, j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ppb, 2, bn), lambda i, j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
@@ -155,26 +169,51 @@ def w4_dequant_matmul(x, qt: QTensor, *, interpret: bool | None = None):
 
     bm = min(256, max(8, M))
     x2d = _pad_axis(x2d, 0, bm)
-    # Large-N tiles keep small-M (decode) shapes from being grid-bound.
-    budget = 12 * 1024 * 1024
-    bn = 128
-    for cand in (2048, 1024, 512, 256, 128):
-        if N % cand != 0:
-            continue
-        step_bytes = gs * cand * 9 + bm * 2 * gs * 4 + 2 * bm * cand * 4
-        if step_bytes <= budget:
-            bn = cand
-            break
+    n_pairs = G_pad // 2
+    bn, ppb = _pick_blocks(bm, N, gs, n_pairs)
 
     scales, zps = _expand_scales(qt, G_pad, N)
     scales = scales.reshape(G_pad // 2, 2, N)
     zps = zps.reshape(G_pad // 2, 2, N)
     out = _w4_call(
         x2d, jnp.asarray(qt.data), scales, zps,
-        gs=gs, signed=qt.meta.qt.is_signed, bm=bm, bn=bn,
+        gs=gs, signed=qt.meta.qt.is_signed, bm=bm, bn=bn, ppb=ppb,
         interpret=interpret, out_dtype=jnp.float32,
     )
     return out[:M].reshape(*batch_shape, N)
+
+
+def _pick_blocks(bm: int, N: int, gs: int, n_pairs: int) -> tuple[int, int]:
+    """Choose (bn, pairs_per_block) minimizing grid-instance count.
+
+    Per-grid-instance overhead (~1.5 us on this runtime) dominates small-K
+    fat-N decode shapes, so prefer the largest lane-tileable bn, then pack as
+    many group pairs per step as the VMEM budget allows (w block + two f32
+    dequant tiles + x chunk + acc, double-buffered by Mosaic)."""
+    budget = 10 * 1024 * 1024
+
+    def step_bytes(bn, ppb):
+        return (
+            ppb * gs * bn          # packed weight block (u8)
+            + 8 * gs * bn          # two (gs, bn) f32 dequant tiles
+            + bm * 2 * ppb * gs * 4  # x chunk
+            + 2 * bm * bn * 4      # acc scratch + out block
+        )
+
+    cands = [c for c in (N, 4096, 2048, 1024, 512, 256, 128)
+             if c <= N and N % c == 0 and c % 128 == 0]
+    seen: set[int] = set()
+    cands = [c for c in cands if not (c in seen or seen.add(c))]
+    best = (128, 1)
+    best_cost = None
+    for bn in cands:
+        for ppb in range(n_pairs, 0, -1):
+            if n_pairs % ppb == 0 and step_bytes(bn, ppb) <= budget:
+                instances = (N // bn) * (n_pairs // ppb)
+                if best_cost is None or instances < best_cost:
+                    best, best_cost = (bn, ppb), instances
+                break  # smaller ppb only increases instances for this bn
+    return best
 
 
 def _w4_predicate(x, qt: QTensor, bias) -> bool:

@@ -24,7 +24,8 @@ from onnx_quantize_tpu.ops.kernels import register_kernel
 __all__ = ["w8_dequant_matmul"]
 
 
-def _w8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k, compute_dtype):
+def _w8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k, symmetric,
+               compute_dtype):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -33,11 +34,19 @@ def _w8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k, compute_dtype
 
     # Scale row for this K tile arrives as a (1, 1, bn) block of (n_k, 1, N).
     # int32 intermediate: Mosaic lacks a direct u8->f32 cast for uint8 weights.
-    dq = (
-        (w_ref[:].astype(jnp.int32).astype(jnp.float32) - z_ref[0, 0:1, :])
-        * s_ref[0, 0:1, :]
-    ).astype(compute_dtype)
-    acc_ref[:] += jnp.dot(x_ref[:], dq, preferred_element_type=jnp.float32)
+    if symmetric:
+        # zp == 0: dot the raw casted weights and fold the scale into the
+        # (bm, bn) partial product — K/bm x less VPU multiply work than
+        # scaling the (bk, bn) weight tile, and no f32 dequant tile.
+        wq = w_ref[:].astype(jnp.int32).astype(jnp.float32).astype(compute_dtype)
+        part = jnp.dot(x_ref[:], wq, preferred_element_type=jnp.float32)
+        acc_ref[:] += part * s_ref[0, 0:1, :]
+    else:
+        dq = (
+            (w_ref[:].astype(jnp.int32).astype(jnp.float32) - z_ref[0, 0:1, :])
+            * s_ref[0, 0:1, :]
+        ).astype(compute_dtype)
+        acc_ref[:] += jnp.dot(x_ref[:], dq, preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
     def _():
@@ -53,12 +62,17 @@ def _pad_axis(a, axis, to):
     return jnp.pad(a, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret", "out_dtype"))
-def _w8_call(x2d, data, scale_rows, zp_rows, *, bm, bn, bk, interpret, out_dtype):
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bn", "bk", "symmetric", "interpret", "out_dtype")
+)
+def _w8_call(x2d, data, scale_rows, zp_rows, *, bm, bn, bk, symmetric, interpret,
+             out_dtype):
     M, K_pad = x2d.shape
     _, N = data.shape
     n_k = K_pad // bk
-    kernel = functools.partial(_w8_kernel, n_k=n_k, compute_dtype=x2d.dtype)
+    kernel = functools.partial(
+        _w8_kernel, n_k=n_k, symmetric=symmetric, compute_dtype=x2d.dtype
+    )
     return pl.pallas_call(
         kernel,
         grid=(M // bm, N // bn, n_k),
@@ -131,13 +145,17 @@ def w8_dequant_matmul(x, qt: QTensor, *, interpret: bool | None = None):
     bm = min(256, max(8, M))
     x2d = _pad_axis(x2d, 0, bm)
     # Tile N as large as the VMEM budget allows — decode shapes (tiny M, huge
-    # N like the 262k lm_head) are grid-overhead-bound at small bn.
+    # N like the 262k lm_head) are grid-instance-overhead-bound at small bn.
+    # The symmetric fast path needs no f32 dequant tile, so its blocks can be
+    # larger (multiplier 3 vs 5 bytes per weight element).
+    symmetric = bool(qt.meta.symmetric)
     budget = 12 * 1024 * 1024
+    mult = 3 if symmetric else 5
     bn = 128
-    for cand in (2048, 1024, 512, 256, 128):
-        if N % cand != 0:
+    for cand in (N, 4096, 2048, 1024, 512, 256, 128):
+        if cand > N or N % cand != 0 or cand % 128 != 0:
             continue
-        step_bytes = bk * cand * 5 + bm * bk * 4 + 2 * bm * cand * 4
+        step_bytes = bk * cand * mult + bm * bk * 4 + 2 * bm * cand * 4
         if step_bytes <= budget:
             bn = cand
             break
@@ -147,7 +165,8 @@ def w8_dequant_matmul(x, qt: QTensor, *, interpret: bool | None = None):
     zp_rows = zp_rows.reshape(-1, 1, N)
     out = _w8_call(
         x2d, data, scale_rows, zp_rows,
-        bm=bm, bn=bn, bk=bk, interpret=interpret, out_dtype=jnp.float32,
+        bm=bm, bn=bn, bk=bk, symmetric=symmetric, interpret=interpret,
+        out_dtype=jnp.float32,
     )
     return out[:M].reshape(*batch_shape, N)
 
