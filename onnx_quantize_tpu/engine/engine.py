@@ -59,6 +59,7 @@ class InferenceEngine:
         data_axis: str = "data",
         model_axis: str = "model",
         fused_attention: bool | str = "auto",
+        mlp_megakernel: bool | str = "auto",
     ):
         cfg = model.cfg
         self.model = model
@@ -67,13 +68,17 @@ class InferenceEngine:
         self.dtype = dtype
         self.mesh = mesh
         # Fused int8-KV decode attention (ops/kernels/flash_decode.py): the
-        # kernel consumes the int8 cache directly — no per-step float
-        # materialization. "auto" = on-TPU whenever the shapes tile.
+        # kernel consumes the int8 cache directly. Opt-in only: XLA already
+        # fuses the elementwise dequant into the attention dot (no f32 cache
+        # materialization), and the kernel's sequential grid loses to that at
+        # serving scale — measured 0.35x vs 1.19x on the 270M headline
+        # (BENCH.md round 2). It remains available for shapes where explicit
+        # blockwise streaming pays.
         fusable = (
             kv_quant and cfg.head_dim % 128 == 0 and max_seq % 128 == 0
         )
         if fused_attention == "auto":
-            self._fused_attn = fusable and jax.default_backend() == "tpu"
+            self._fused_attn = False
         elif fused_attention:
             if not fusable:
                 raise ValueError(
@@ -93,6 +98,17 @@ class InferenceEngine:
             quantized=kv_quant,
             dtype=dtype,
         )
+        # Fused W4 MLP megakernel (ops/kernels/mlp_w4.py): per-shape
+        # eligibility (packed-W4 pair, decode-sized M) is checked at trace
+        # time, so "auto" simply arms the hook on TPU.
+        use_mega = (
+            jax.default_backend() == "tpu" if mlp_megakernel == "auto"
+            else bool(mlp_megakernel)
+        )
+        for block in getattr(model, "blocks", []):
+            if hasattr(block, "mlp"):
+                block.mlp.use_megakernel = use_mega
+
         if mesh is None:
             self._exec_model = model
             self.params = params

@@ -209,6 +209,24 @@ class Gemma3MLP(nn.Module):
             from onnx_quantize_tpu.ops import quantized_matmul
 
             w = params["_fused_gate_up"]["w"]
+            dn = params["down_proj"].get("w")
+            if (
+                getattr(self, "use_megakernel", False)
+                and isinstance(w, nn.QTensor)
+                and isinstance(dn, nn.QTensor)
+                and "prescale" not in params["down_proj"]
+                and self.down_proj.tp_reduce is None
+            ):
+                # Decode megakernel: gate/up matmul + GeGLU + down matmul in
+                # ONE pallas_call (launch-latency lever, see mlp_w4.py).
+                from onnx_quantize_tpu.ops.kernels.mlp_w4 import (
+                    mlp_w4_eligible,
+                    mlp_w4_fused,
+                )
+
+                M = int(np.prod(x.shape[:-1]))
+                if mlp_w4_eligible(w, dn, M):
+                    return mlp_w4_fused(x, w, dn)
             if isinstance(w, nn.QTensor):
                 gu = quantized_matmul(x, w)
             else:
