@@ -57,6 +57,14 @@ def _build(model_cfg, quantized: bool, cpu_device):
 
 def _decode_tput(model, params, device, batch=8, prompt_len=128, steps=64,
                  kv_quant=True, max_seq=512, repeats=5):
+    """Decode tokens/s via the SLOPE between two scan lengths.
+
+    Every warm device call on the tunneled runtime carries a ~32 ms fixed
+    sync/transfer overhead (BENCH.md timing rules), which would deflate both
+    arms and pull the quantized/baseline ratio toward 1. Timing the scan'd
+    decode at ``steps`` and ``4*steps`` and dividing the extra tokens by the
+    extra time cancels the fixed overhead exactly.
+    """
     import jax
     import jax.numpy as jnp
     import jax.tree_util as jtu
@@ -83,22 +91,39 @@ def _decode_tput(model, params, device, batch=8, prompt_len=128, steps=64,
     cache, logits = engine.prefill(cache, ids, lengths)
     tokens = np.asarray(np.argmax(logits, axis=-1), np.int32)
 
-    # Warm the multi-step decode program (the serving loop: lax.scan'd steps,
-    # no per-token host dispatch).
-    cache, generated = engine.decode_multi(cache, tokens, steps=steps)
-    jax.block_until_ready(generated)
+    steps_lo, steps_hi = steps, 4 * steps
+
+    # Warm BOTH scan programs; np.asarray is the true sync (block_until_ready
+    # returns early on cold calls on this runtime — BENCH.md timing rules).
+    cache, generated = engine.decode_multi(cache, tokens, steps=steps_lo)
+    tokens = np.asarray(generated)[:, -1]
+    cache, generated = engine.decode_multi(cache, tokens, steps=steps_hi)
     tokens = np.asarray(generated)[:, -1]
 
-    # Median of N timed repeats: run-to-run variance on this runtime is
-    # ±10-15% (BENCH.md), so a single sample can't distinguish a 1.2x from a
-    # 1.02x. The repeats reuse the same warmed program and cache slots.
-    reps = []
-    for _ in range(repeats):
-        t0 = time.time()
-        cache, generated = engine.decode_multi(cache, tokens, steps=steps)
-        jax.block_until_ready(generated)
-        reps.append(batch * steps / (time.time() - t0))
-    return float(np.median(reps)), float(np.min(reps)), float(np.max(reps))
+    # Median of N timed repeats per scan length: run-to-run variance on this
+    # runtime is ±10-15%, so a single sample can't distinguish a 1.2x from a
+    # 1.02x. Repeats reuse the warmed programs and cache slots (KV writes
+    # past max_seq drop, identically for both arms).
+    def timed(n_steps):
+        nonlocal cache, tokens
+        samples = []
+        for _ in range(repeats):
+            t0 = time.time()
+            cache, generated = engine.decode_multi(cache, tokens, steps=n_steps)
+            jax.block_until_ready(generated)
+            samples.append(time.time() - t0)
+        tokens = np.asarray(generated)[:, -1]
+        return samples
+
+    t_lo = timed(steps_lo)
+    t_hi = timed(steps_hi)
+    extra = batch * (steps_hi - steps_lo)
+    pairs = [extra / (hi - lo) for lo, hi in zip(sorted(t_lo), sorted(t_hi))]
+    return (
+        float(np.median(pairs)),
+        float(np.min(pairs)),
+        float(np.max(pairs)),
+    )
 
 
 def main():
@@ -111,12 +136,22 @@ def main():
     device = jax.devices()[0]
     on_accel = device.platform != "cpu"
 
-    from onnx_quantize_tpu.models.gemma3 import GEMMA3_270M, Gemma3Config
+    from onnx_quantize_tpu.models.gemma3 import (
+        GEMMA3_1B,
+        GEMMA3_270M,
+        Gemma3Config,
+    )
 
     import dataclasses
 
+    # OQT_BENCH_MODEL=1b benches Gemma-3-1B (weights dominate the step there,
+    # so quantization separates much harder from bf16 — see BENCH.md); the
+    # driver default stays the 270M flagship.
+    model_name = os.environ.get("OQT_BENCH_MODEL", "270m").lower()
+
     if on_accel:
-        cfg = dataclasses.replace(GEMMA3_270M, dtype="bfloat16")
+        base = GEMMA3_1B if model_name == "1b" else GEMMA3_270M
+        cfg = dataclasses.replace(base, dtype="bfloat16")
         # B=32: decode on this runtime is per-step-cost bound, so throughput
         # scales with batch until memory pressure (see BENCH.md).
         batch, prompt_len, steps, max_seq = 32, 128, 64, 512
@@ -144,7 +179,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "gemma3_270m_w4g128_decode_tokens_per_sec_per_chip",
+                "metric": f"gemma3_{model_name}_w4g128_decode_tokens_per_sec_per_chip",
                 "value": round(tput_q, 1),
                 "unit": "tokens/s",
                 "vs_baseline": round(tput_q / tput_f, 3),

@@ -26,7 +26,7 @@ from onnx_quantize_tpu import nn
 from onnx_quantize_tpu.nn.layers import Embedding, RMSNorm, apply_rope
 from onnx_quantize_tpu.nn.module import Context, InputSpec
 
-__all__ = ["Gemma3Config", "Gemma3", "GEMMA3_270M"]
+__all__ = ["Gemma3Config", "Gemma3", "GEMMA3_270M", "GEMMA3_1B", "GEMMA3_4B"]
 
 
 @dataclasses.dataclass(frozen=True)

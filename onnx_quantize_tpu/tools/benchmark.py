@@ -37,21 +37,40 @@ class ChipSpec:
 V5E = ChipSpec(name="v5e", peak_bf16_tflops=197.0, peak_int8_tops=394.0, hbm_gbps=819.0)
 
 
-def bench_fn(fn, x, iters: int = 50) -> float:
-    """Seconds per call, measured inside one jit with a sequential chain."""
+def bench_fn(fn, x, iters: int = 200) -> float:
+    """Seconds per call: slope between two in-jit chained trip counts.
 
-    @jax.jit
-    def loop(x0):
-        def body(i, carry):
-            y = fn(x0 + carry * 1e-30)
-            return jnp.sum(y) * 0.0 + carry
+    Three measured platform traps shape this harness (see BENCH.md timing
+    rules): (1) XLA distributes dot(x0+s, W) and hoists the loop-invariant
+    dots, so the carry is mixed in through tanh; (2) sum(dot(x, W)) is
+    rewritten to (colsum x)@(rowsum W), so abs() sits between dot and
+    reduce; (3) block_until_ready returns immediately on cold calls and
+    every warm call carries a ~32 ms fixed tunnel overhead, so the warm-up
+    forces a value fetch and the estimate is the SLOPE between two trip
+    counts (fixed overhead cancels).
+    """
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+    def timed(n):
+        @jax.jit
+        def loop(x0, seed):
+            def body(i, carry):
+                xi = jnp.tanh(x0 + carry).astype(x0.dtype)
+                y = fn(xi)
+                return jnp.sum(jnp.abs(y)).astype(jnp.float32) * 1e-30 + carry
 
-    loop(x).block_until_ready()
-    t = time.time()
-    loop(x).block_until_ready()
-    return (time.time() - t) / iters
+            return jax.lax.fori_loop(0, n, body, seed)
+
+        float(loop(x, jnp.float32(0.0)))  # true sync: compile + warm run
+        times = []
+        for rep in range(3):
+            seed = jnp.float32((rep + 1) * 1e-6)
+            t = time.time()
+            loop(x, seed).block_until_ready()
+            times.append(time.time() - t)
+        return float(np.median(times))
+
+    lo, hi = max(iters // 4, 10), iters
+    return max(timed(hi) - timed(lo), 1e-9) / (hi - lo)
 
 
 def bench_quantized_matmul(qt, M: int, *, chip: ChipSpec = V5E, iters: int = 50,
@@ -95,7 +114,7 @@ def main():
     parser.add_argument("--k", type=int, default=2048)
     parser.add_argument("--n", type=int, default=2048)
     parser.add_argument("--group-size", type=int, default=128)
-    parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--iters", type=int, default=200)
     parser.add_argument("--impl", choices=["pallas", "jnp"], default="pallas")
     args = parser.parse_args()
 

@@ -1,0 +1,126 @@
+"""Engine-level decode ablations: attribute the step cost to components.
+
+Each arm is the real engine decode loop (bench.py machinery) with ONE knob
+changed from the headline config. Differences between arms attribute the
+step cost causally — unlike standalone op probes, which fuse differently
+from the scan'd engine program (BENCH.md round-2 caveat).
+
+Arms:
+  headline            W4 g128 body + int8 lm_head + int8 KV, S_max=512
+  smax=256 / 1024     KV-read cost slope (cache reads scale with S_max)
+  kv=bf16             int8-KV saving (quantized arm with unquantized cache)
+  lmhead=w4 / fp      lm_head kernel choice (W4 g64 vs int8 vs bf16)
+
+Run alone on the chip: python scripts/tpu_bench_ablate.py [arm ...]
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+
+import numpy as np
+
+
+def build(lmhead="int8"):
+    import dataclasses
+
+    import jax
+
+    import onnx_quantize_tpu as oqt
+    from onnx_quantize_tpu.models.gemma3 import (
+        GEMMA3_270M,
+        Gemma3,
+        fuse_gemma3_projections,
+    )
+
+    cpu = jax.devices("cpu")[0]
+    cfg = dataclasses.replace(GEMMA3_270M, dtype="bfloat16")
+    model = Gemma3(cfg)
+    with jax.default_device(cpu):
+        params = model.init(jax.random.key(0))
+        qconfig = oqt.QConfig(
+            weights=oqt.QWeightArgs(dtype="uint4", group_size=128),
+            ignore=["lm_head"],
+        )
+        params, _ = oqt.quantize(model, params, qconfig)
+        if lmhead == "int8":
+            head = oqt.QConfig(
+                weights=oqt.QWeightArgs(dtype="int8", group_size=-1, symmetric=True),
+                ignore=[r"^layers\."],
+            )
+            params, _ = oqt.quantize(model, params, head)
+        elif lmhead == "w4":
+            head = oqt.QConfig(
+                weights=oqt.QWeightArgs(dtype="uint4", group_size=64),
+                ignore=[r"^layers\."],
+            )
+            params, _ = oqt.quantize(model, params, head)
+        # lmhead == "fp": leave bf16
+        params = fuse_gemma3_projections(params)
+    return model, params
+
+
+def tput(model, params, *, kv_quant=True, max_seq=512, batch=32,
+         prompt_len=128, steps=64, repeats=5):
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from onnx_quantize_tpu.engine import InferenceEngine
+
+    device = jax.devices()[0]
+    params = jtu.tree_map(lambda a: jax.device_put(a, device), params)
+    engine = InferenceEngine(
+        model, params, max_batch=batch, max_seq=max_seq, kv_quant=kv_quant,
+        dtype=jnp.bfloat16, fused_attention=False,
+    )
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, model.cfg.vocab_size, size=(batch, prompt_len)).astype(np.int32)
+    lengths = np.full((batch,), prompt_len, np.int32)
+    cache, logits = engine.prefill(engine.new_cache(), ids, lengths)
+    first = np.asarray(np.argmax(logits, -1), np.int32)
+    cache, generated = engine.decode_multi(cache, first, steps=steps)
+    jax.block_until_ready(generated)
+    tokens = np.asarray(generated)[:, -1]
+    reps = []
+    for _ in range(repeats):
+        t0 = time.time()
+        cache, generated = engine.decode_multi(cache, tokens, steps=steps)
+        jax.block_until_ready(generated)
+        reps.append(batch * steps / (time.time() - t0))
+    return float(np.median(reps)), float(np.min(reps)), float(np.max(reps))
+
+
+ARMS = {
+    "headline": dict(),
+    "smax256": dict(max_seq=256),
+    "smax1024": dict(max_seq=1024),
+    "kvbf16": dict(kv_quant=False),
+    "lmhead_w4": dict(lmhead="w4"),
+    "lmhead_fp": dict(lmhead="fp"),
+}
+
+
+def main():
+    want = sys.argv[1:] or list(ARMS)
+    built = {}
+    for name in want:
+        knobs = dict(ARMS[name])
+        lmhead = knobs.pop("lmhead", "int8")
+        if lmhead not in built:
+            built[lmhead] = build(lmhead)
+        model, params = built[lmhead]
+        med, lo, hi = tput(model, params, **knobs)
+        us_per_step = 32 * 64 / med * 1e6 / 64
+        print(json.dumps({
+            "arm": name, "tok_s": round(med, 1),
+            "spread": [round(lo, 1), round(hi, 1)],
+            "us_per_step": round(us_per_step, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
