@@ -188,22 +188,29 @@ def _pick_blocks(bm: int, N: int, gs: int, n_pairs: int) -> tuple[int, int]:
 
     Per-grid-instance overhead (~1.5 us on this runtime) dominates small-K
     fat-N decode shapes, so prefer the largest lane-tileable bn, then pack as
-    many group pairs per step as the VMEM budget allows (w block + two f32
-    dequant tiles + x chunk + acc, double-buffered by Mosaic)."""
-    budget = 10 * 1024 * 1024
+    many group pairs per step as the VMEM budget allows. The model charges
+    streamed blocks TWICE (Mosaic double-buffers them) plus ~4 (gs, bn) f32
+    temporaries for the unpack/dequant chain — verified against a scoped-vmem
+    OOM at 19.7M on the Gemma-1B gate_up prefill (limit is 16M/core)."""
+    budget = 15 * 1024 * 1024
 
     def step_bytes(bn, ppb):
-        return (
+        streamed = (
             ppb * gs * bn          # packed weight block (u8)
-            + 8 * gs * bn          # two (gs, bn) f32 dequant tiles
-            + bm * 2 * ppb * gs * 4  # x chunk
-            + 2 * bm * bn * 4      # acc scratch + out block
+            + bm * 2 * ppb * gs * 4  # x chunk (f32 at prefill)
+            + 2 * ppb * 2 * bn * 4   # scale + zp blocks
+            + bm * bn * 4          # out block
         )
+        temps = 16 * gs * bn       # ~4 f32 (gs, bn) unpack/dequant tiles
+        return 2 * streamed + temps + bm * bn * 4  # + acc scratch
 
-    cands = [c for c in (N, 4096, 2048, 1024, 512, 256, 128)
-             if c <= N and N % c == 0 and c % 128 == 0]
-    seen: set[int] = set()
-    cands = [c for c in cands if not (c in seen or seen.add(c))]
+    # All lane-tileable divisors of N, largest first (non-power-of-two shapes
+    # like Gemma-1B's 13824 = 27*512 need e.g. bn=4608 — a fixed power-of-two
+    # list leaves 9x more grid instances on the table).
+    lanes = N // 128
+    cands = sorted(
+        (128 * k for k in range(1, lanes + 1) if lanes % k == 0), reverse=True
+    )
     best = (128, 1)
     best_cost = None
     for bn in cands:

@@ -31,37 +31,43 @@ __all__ = ["w4a8_matmul"]
 
 
 def _w4a8_kernel(sx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
-                 gs, signed, n_pairs):
+                 gs, signed, n_k, ppb):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[:].astype(jnp.int32)
-    low = w & 0x0F
-    high = (w >> 4) & 0x0F
-    if signed:
-        low = jnp.where(low > 7, low - 16, low)
-        high = jnp.where(high > 7, high - 16, high)
-    # Center by the (integer-valued) zero point: range [-15, 15] fits int8.
-    low_c = (low - z_ref[0, 0:1, :].astype(jnp.int32)).astype(jnp.int8)
-    high_c = (high - z_ref[0, 1:2, :].astype(jnp.int32)).astype(jnp.int8)
-
-    x = x_ref[:]
-    acc_low = jax.lax.dot_general(
-        x[:, :gs], low_c, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    acc_high = jax.lax.dot_general(
-        x[:, gs:], high_c, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
+    # ``ppb`` group pairs per grid step (statically unrolled) — per-grid-
+    # instance overhead binds decode shapes, same as the W4 fp kernel.
     sx = sx_ref[0, 0]
-    acc_ref[:] += (
-        acc_low.astype(jnp.float32) * (sx * s_ref[0, 0:1, :])
-        + acc_high.astype(jnp.float32) * (sx * s_ref[0, 1:2, :])
-    )
+    for p in range(ppb):
+        w = w_ref[p * gs : (p + 1) * gs, :].astype(jnp.int32)
+        low = w & 0x0F
+        high = (w >> 4) & 0x0F
+        if signed:
+            low = jnp.where(low > 7, low - 16, low)
+            high = jnp.where(high > 7, high - 16, high)
+        # Center by the (integer-valued) zero point: range [-15, 15] fits int8.
+        low_c = (low - z_ref[p, 0:1, :].astype(jnp.int32)).astype(jnp.int8)
+        high_c = (high - z_ref[p, 1:2, :].astype(jnp.int32)).astype(jnp.int8)
 
-    @pl.when(k == n_pairs - 1)
+        x = x_ref[:]
+        lo = 2 * p * gs
+        acc_low = jax.lax.dot_general(
+            x[:, lo : lo + gs], low_c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc_high = jax.lax.dot_general(
+            x[:, lo + gs : lo + 2 * gs], high_c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[:] += (
+            acc_low.astype(jnp.float32) * (sx * s_ref[p, 0:1, :])
+            + acc_high.astype(jnp.float32) * (sx * s_ref[p, 1:2, :])
+        )
+
+    @pl.when(k == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
@@ -76,22 +82,26 @@ def _pad_axis(a, axis, to):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("gs", "signed", "bm", "bn", "interpret")
+    jax.jit, static_argnames=("gs", "signed", "bm", "bn", "ppb", "interpret")
 )
-def _w4a8_call(sx, x_q, data, scales, zps, *, gs, signed, bm, bn, interpret):
+def _w4a8_call(sx, x_q, data, scales, zps, *, gs, signed, bm, bn, ppb, interpret):
     M, K_pad = x_q.shape
     half_rows, N = data.shape
-    n_pairs = half_rows // gs
-    kernel = functools.partial(_w4a8_kernel, gs=gs, signed=signed, n_pairs=n_pairs)
+    n_k = half_rows // gs // ppb
+    kernel = functools.partial(_w4a8_kernel, gs=gs, signed=signed, n_k=n_k, ppb=ppb)
     return pl.pallas_call(
         kernel,
-        grid=(M // bm, N // bn, n_pairs),
+        grid=(M // bm, N // bn, n_k),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j, k: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bm, 2 * gs), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 2 * ppb * gs), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ppb * gs, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ppb, 2, bn), lambda i, j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ppb, 2, bn), lambda i, j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
@@ -136,16 +146,11 @@ def w4a8_matmul(x, qt: QTensor, *, interpret: bool | None = None):
 
     bm = min(256, max(8, M))
     x_q = _pad_axis(x_q, 0, bm)
-    budget = 12 * 1024 * 1024
-    bn = 128
-    for cand in (2048, 1024, 512, 256, 128):
-        if N % cand != 0:
-            continue
-        if gs * cand * 3 + bm * 2 * gs + 2 * bm * cand * 4 <= budget:
-            bn = cand
-            break
+    # Same instance-minimizing picker as the W4 fp kernel (the int8 dequant
+    # tiles are smaller than its f32 ones, so its VMEM accounting is safe).
+    from onnx_quantize_tpu.ops.kernels.matmul_w4 import _expand_scales, _pick_blocks
 
-    from onnx_quantize_tpu.ops.kernels.matmul_w4 import _expand_scales
+    bn, ppb = _pick_blocks(bm, N, gs, G_pad // 2)
 
     scales, zps = _expand_scales(qt, G_pad, N)
     scales = scales.reshape(G_pad // 2, 2, N)
@@ -153,7 +158,8 @@ def w4a8_matmul(x, qt: QTensor, *, interpret: bool | None = None):
 
     out = _w4a8_call(
         sx.reshape(1, 1), x_q, jnp.asarray(qt.data), scales, zps,
-        gs=gs, signed=qt.meta.qt.is_signed, bm=bm, bn=bn, interpret=interpret,
+        gs=gs, signed=qt.meta.qt.is_signed, bm=bm, bn=bn, ppb=ppb,
+        interpret=interpret,
     )
     return out[:M].reshape(*batch_shape, N)
 

@@ -97,6 +97,57 @@ def _w8_call(x2d, data, scale_rows, zp_rows, *, bm, bn, bk, symmetric, interpret
     )(x2d, data, scale_rows, zp_rows)
 
 
+_W8_BUDGET = 10 * 1024 * 1024
+
+
+def _w8_step_bytes(bm, bk, bn, symmetric):
+    # Weight tile (u8 + its bf16 cast; asymmetric adds the f32 dequant tile)
+    # + x chunk + acc scratch + out block. The symmetric fast path folds the
+    # scale into the (bm, bn) partial, so its blocks can be larger. The
+    # largest on-chip-verified config sits at ~8M under this accounting
+    # (640x4096 sym); the 10M budget keeps picks in that proven range under
+    # the 16M/core scoped-vmem limit with Mosaic's double buffering.
+    mult = 3 if symmetric else 5
+    return bk * bn * mult + bm * bk * 4 + 2 * bm * bn * 4
+
+
+def _lane_divisors(n):
+    lanes = n // 128
+    return sorted((128 * k for k in range(1, lanes + 1) if lanes % k == 0),
+                  reverse=True)
+
+
+def _pick_bn(bm, N, bk, symmetric):
+    for bn in _lane_divisors(N):
+        if _w8_step_bytes(bm, bk, bn, symmetric) <= _W8_BUDGET:
+            return bn
+    return 128
+
+
+def _pick_blocks_w8(bm, K, N, symmetric):
+    """Joint (bk, bn) minimizing grid-instance count under the VMEM budget.
+
+    Per-grid-instance overhead (~1.5 us on this runtime) binds decode shapes;
+    a fixed power-of-two candidate list leaves non-power-of-two shapes (Gemma
+    1B: K=6912, N=13824) with 10-50x more instances than needed."""
+    bks = _lane_divisors(K) if K % 128 == 0 else []
+    if K <= 4096 and K % 8 == 0 and K not in bks:
+        bks.append(K)  # whole-K panel (odd shapes like the 640-row lm_head)
+    if not bks:
+        bks = [K]
+    best, best_cost = (bks[-1], 128), None
+    for bk in bks:
+        n_k = -(-K // bk)
+        for bn in _lane_divisors(N):
+            if _w8_step_bytes(bm, bk, bn, symmetric) > _W8_BUDGET:
+                continue
+            instances = (N // bn) * n_k
+            if best_cost is None or instances < best_cost:
+                best, best_cost = (bk, bn), instances
+            break  # smaller bn only adds instances for this bk
+    return best
+
+
 def _scale_rows_for(qt: QTensor, bk: int, K_pad: int, N: int):
     """Build (K_pad/bk, N) f32 scale/zp rows, one per K tile."""
     strat = qt.meta.strat
@@ -124,41 +175,25 @@ def w8_dequant_matmul(x, qt: QTensor, *, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    batch_shape = x.shape[:-1]
+    M = int(np.prod(batch_shape)) if batch_shape else 1
+    bm = min(256, max(8, M))
+    symmetric = bool(qt.meta.symmetric)
+
     strat = qt.meta.strat
     if strat == QuantizationStrategy.GROUP:
         bk = qt.meta.group_size
-    elif K <= 4096 and K % 8 == 0:
-        # One K step: fewer grid iterations; the whole K panel fits VMEM.
-        bk = K
+        bn = _pick_bn(bm, N, bk, symmetric)
     else:
-        bk = 512 if K % 512 == 0 else (128 if K % 128 == 0 else K)
+        bk, bn = _pick_blocks_w8(bm, K, N, symmetric)
 
-    batch_shape = x.shape[:-1]
-    M = int(np.prod(batch_shape)) if batch_shape else 1
     x2d = x.reshape(M, K)
     data = jnp.asarray(qt.data)
     K_pad = K + ((-K) % bk)
     if K_pad != K:
         x2d = _pad_axis(x2d, 1, bk)
         data = _pad_axis(data, 0, bk)
-
-    bm = min(256, max(8, M))
     x2d = _pad_axis(x2d, 0, bm)
-    # Tile N as large as the VMEM budget allows — decode shapes (tiny M, huge
-    # N like the 262k lm_head) are grid-instance-overhead-bound at small bn.
-    # The symmetric fast path needs no f32 dequant tile, so its blocks can be
-    # larger (multiplier 3 vs 5 bytes per weight element).
-    symmetric = bool(qt.meta.symmetric)
-    budget = 12 * 1024 * 1024
-    mult = 3 if symmetric else 5
-    bn = 128
-    for cand in (N, 4096, 2048, 1024, 512, 256, 128):
-        if cand > N or N % cand != 0 or cand % 128 != 0:
-            continue
-        step_bytes = bk * cand * mult + bm * bk * 4 + 2 * bm * cand * 4
-        if step_bytes <= budget:
-            bn = cand
-            break
 
     scale_rows, zp_rows = _scale_rows_for(qt, bk, K_pad, N)
     scale_rows = scale_rows.reshape(-1, 1, N)

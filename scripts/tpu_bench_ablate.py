@@ -24,7 +24,7 @@ os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
 import numpy as np
 
 
-def build(lmhead="int8"):
+def build(lmhead="int8", body="w4"):
     import dataclasses
 
     import jax
@@ -41,11 +41,21 @@ def build(lmhead="int8"):
     model = Gemma3(cfg)
     with jax.default_device(cpu):
         params = model.init(jax.random.key(0))
-        qconfig = oqt.QConfig(
-            weights=oqt.QWeightArgs(dtype="uint4", group_size=128),
-            ignore=["lm_head"],
-        )
+        if body == "w8":
+            qconfig = oqt.QConfig(
+                weights=oqt.QWeightArgs(dtype="int8", group_size=-1, symmetric=True),
+                ignore=["lm_head"],
+            )
+        else:
+            qconfig = oqt.QConfig(
+                weights=oqt.QWeightArgs(dtype="uint4", group_size=128),
+                ignore=["lm_head"],
+            )
         params, _ = oqt.quantize(model, params, qconfig)
+        if body == "w4a8":
+            from onnx_quantize_tpu import ops as oqt_ops
+
+            params = oqt_ops.convert_to_w4a8(params)
         if lmhead == "int8":
             head = oqt.QConfig(
                 weights=oqt.QWeightArgs(dtype="int8", group_size=-1, symmetric=True),
@@ -81,17 +91,32 @@ def tput(model, params, *, kv_quant=True, max_seq=512, batch=32,
     ids = rng.integers(1, model.cfg.vocab_size, size=(batch, prompt_len)).astype(np.int32)
     lengths = np.full((batch,), prompt_len, np.int32)
     cache, logits = engine.prefill(engine.new_cache(), ids, lengths)
-    first = np.asarray(np.argmax(logits, -1), np.int32)
-    cache, generated = engine.decode_multi(cache, first, steps=steps)
-    jax.block_until_ready(generated)
+    tokens = np.asarray(np.argmax(logits, -1), np.int32)
+
+    # Slope timing (BENCH.md timing rules): warm both scan lengths with a
+    # true value sync, then tokens/s = extra tokens / extra time so the
+    # ~32 ms/call tunnel overhead cancels.
+    steps_lo, steps_hi = steps, 4 * steps
+    cache, generated = engine.decode_multi(cache, tokens, steps=steps_lo)
     tokens = np.asarray(generated)[:, -1]
-    reps = []
-    for _ in range(repeats):
-        t0 = time.time()
-        cache, generated = engine.decode_multi(cache, tokens, steps=steps)
-        jax.block_until_ready(generated)
-        reps.append(batch * steps / (time.time() - t0))
-    return float(np.median(reps)), float(np.min(reps)), float(np.max(reps))
+    cache, generated = engine.decode_multi(cache, tokens, steps=steps_hi)
+    tokens = np.asarray(generated)[:, -1]
+
+    def timed(n_steps):
+        nonlocal cache, tokens
+        samples = []
+        for _ in range(repeats):
+            t0 = time.time()
+            cache, generated = engine.decode_multi(cache, tokens, steps=n_steps)
+            jax.block_until_ready(generated)
+            samples.append(time.time() - t0)
+        tokens = np.asarray(generated)[:, -1]
+        return samples
+
+    t_lo, t_hi = timed(steps_lo), timed(steps_hi)
+    extra = batch * (steps_hi - steps_lo)
+    pairs = [extra / (hi - lo) for lo, hi in zip(sorted(t_lo), sorted(t_hi))]
+    return float(np.median(pairs)), float(np.min(pairs)), float(np.max(pairs))
 
 
 ARMS = {
@@ -101,6 +126,8 @@ ARMS = {
     "kvbf16": dict(kv_quant=False),
     "lmhead_w4": dict(lmhead="w4"),
     "lmhead_fp": dict(lmhead="fp"),
+    "body_w8": dict(body="w8"),
+    "body_w4a8": dict(body="w4a8"),
 }
 
 
@@ -110,9 +137,11 @@ def main():
     for name in want:
         knobs = dict(ARMS[name])
         lmhead = knobs.pop("lmhead", "int8")
-        if lmhead not in built:
-            built[lmhead] = build(lmhead)
-        model, params = built[lmhead]
+        body = knobs.pop("body", "w4")
+        key = (lmhead, body)
+        if key not in built:
+            built[key] = build(lmhead, body)
+        model, params = built[key]
         med, lo, hi = tput(model, params, **knobs)
         us_per_step = 32 * 64 / med * 1e6 / 64
         print(json.dumps({

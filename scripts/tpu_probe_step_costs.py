@@ -95,6 +95,8 @@ def make_qt(w, dtype, group_size, cpu):
 
 
 def main():
+    import sys
+
     from onnx_quantize_tpu.ops.dispatch import quantized_matmul_pallas
 
     cpu = jax.devices("cpu")[0]
@@ -109,6 +111,35 @@ def main():
         print(json.dumps(row), flush=True)
 
     M = 32
+
+    if "--set" in sys.argv and sys.argv[sys.argv.index("--set") + 1] == "1b":
+        # Gemma-3-1B decode body shapes (hidden 1152, intermediate 6912,
+        # 26 layers): where does the quantized 1B step lose its byte
+        # advantage? (bench.py 1b arm measured only 1.10x vs bf16.)
+        shapes = {
+            "qkv 1152x1536": (1152, 1536),
+            "o_proj 1024x1152": (1024, 1152),
+            "gate_up 1152x13824": (1152, 13824),
+            "down 6912x1152": (6912, 1152),
+            "lm_head_1b 1152x262144": (1152, 262144),
+        }
+        for name, (K, N) in shapes.items():
+            w = (0.05 * rng.standard_normal((K, N))).astype(np.float32)
+            x = jax.device_put(
+                jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16), dev)
+            wb = jax.device_put(jnp.asarray(w, jnp.bfloat16), dev)
+            report(f"{name} bf16", bench(lambda a, wt: a @ wt, x, wb),
+                   2 * K * N / 1e6)
+            qt4 = make_qt(w, "uint4", 128, cpu)
+            report(f"{name} W4 g128",
+                   bench(lambda a, qt: quantized_matmul_pallas(a, qt, None), x, qt4),
+                   K * N / 2 / 1e6)
+            qt8 = make_qt(w, "int8", None, cpu)
+            report(f"{name} W8 int8",
+                   bench(lambda a, qt: quantized_matmul_pallas(a, qt, None), x, qt8),
+                   K * N / 1e6)
+        print(json.dumps({"probe": "step_costs_1b", "rows": out}))
+        return
     # ---- lm_head family: K=640, N=262144 ----
     K, N = 640, 262144
     w = (0.05 * rng.standard_normal((K, N))).astype(np.float32)
