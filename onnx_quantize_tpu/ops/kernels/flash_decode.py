@@ -154,9 +154,128 @@ def _fd_call(q, k_q, ks, v_q, vs, pos, *, bs, window, interpret):
     )(pos, q, k_q, ks, v_q, vs)
 
 
+def _fd_batched_kernel(rng_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+                       o_ref, m_ref, l_ref, acc_ref, *, B, bs, n_s, window):
+    """Whole-batch blocks: grid (Hkv, n_s) — ~B x fewer grid instances than
+    the per-sequence grid (the per-instance overhead on this runtime made the
+    (B, Hkv, n_s) variant lose to plain XLA at B=32; see BENCH.md round 2).
+
+    The batch loop is statically unrolled with 2D dots (Mosaic's dot lowering
+    is 2D; the unroll pattern matches the W4 kernel's ppb loop)."""
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    live = jnp.logical_and(s >= rng_ref[0], s <= rng_ref[1])
+
+    @pl.when(live)
+    def _():
+        for b in range(B):
+            pos = pos_ref[b]
+            q = q_ref[b, 0]  # (Gp, D) f32, pre-scaled
+            kf = k_ref[b, :, 0, :].astype(jnp.int32).astype(jnp.float32)
+            scores = jax.lax.dot_general(
+                q, kf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (Gp, bs)
+            scores = scores * ks_ref[b, 0, :][None, :]
+
+            cols = s * bs + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            mask = cols <= pos
+            if window is not None:
+                mask = jnp.logical_and(mask, cols > pos - window)
+            scores = jnp.where(mask, scores, _NEG_INF)
+
+            m_prev = m_ref[b]
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+            m_safe = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
+            p = jnp.exp(scores - m_safe)
+            p = jnp.where(mask, p, 0.0)
+            alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, jnp.exp(m_prev - m_safe))
+
+            pv = p * vs_ref[b, 0, :][None, :]
+            vf = v_ref[b, :, 0, :].astype(jnp.int32).astype(jnp.float32)
+            l_ref[b] = l_ref[b] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[b] = acc_ref[b] * alpha + jax.lax.dot_general(
+                pv, vf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            m_ref[b] = m_new
+
+    @pl.when(s == n_s - 1)
+    def _():
+        o_ref[:, 0] = (
+            acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "window", "interpret"))
+def _fd_batched_call(q, k_q, ks, v_q, vs, pos, *, bs, window, interpret):
+    B, Hkv, Gp, D = q.shape
+    S = k_q.shape[1]
+    n_s = S // bs
+
+    # Global live-block range (min/max over the batch): the per-block DMA is
+    # whole-batch, so the clamp can only skip blocks dead for EVERY sequence;
+    # per-sequence raggedness is handled by the in-kernel masks.
+    hi_b = jnp.clip(pos // bs, 0, n_s - 1)
+    lo_b = (
+        jnp.zeros_like(pos) if window is None
+        else jnp.maximum(pos - window + 1, 0) // bs
+    )
+    rng = jnp.stack([jnp.clip(jnp.min(lo_b), 0, n_s - 1), jnp.max(hi_b)])
+
+    def kv_idx(h, s, rng_ref, pos_ref):
+        return (0, jnp.clip(s, rng_ref[0], rng_ref[1]), h, 0)
+
+    def scale_idx(h, s, rng_ref, pos_ref):
+        return (0, h, jnp.clip(s, rng_ref[0], rng_ref[1]))
+
+    kernel = functools.partial(
+        _fd_batched_kernel, B=B, bs=bs, n_s=n_s, window=window
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Hkv, n_s),
+        in_specs=[
+            pl.BlockSpec((B, 1, Gp, D), lambda h, s, r, p: (0, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, bs, 1, D), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1, bs), scale_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, bs, 1, D), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1, bs), scale_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, 1, Gp, D), lambda h, s, r, p: (0, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, Gp, 1), jnp.float32),
+            pltpu.VMEM((B, Gp, 1), jnp.float32),
+            pltpu.VMEM((B, Gp, D), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(rng, pos, q, k_q, ks, v_q, vs)
+
+
 def flash_decode_int8(q, k_q, k_scale, v_q, v_scale, pos, *,
                       window: int | None = None, bs: int = 128,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      batched: bool | None = None):
     """Decode attention over the int8 KV cache.
 
     q: (B, Hq, D) f32 (pre-scaled query for the single decode position);
@@ -175,13 +294,21 @@ def flash_decode_int8(q, k_q, k_scale, v_q, v_scale, pos, *,
     bs = min(bs, S)
     assert S % bs == 0, (S, bs)
 
+    if batched is None:
+        # Whole-batch blocks unless their VMEM footprint (K/V int8 blocks
+        # double-buffered + per-iteration f32 dequant temps + q/out/acc)
+        # would crowd the 16M/core scoped budget.
+        est = 2 * 2 * B * bs * D + 2 * bs * D * 4 + 3 * B * Gp * D * 4
+        batched = est <= 12 * 1024 * 1024
+
     qh = q.reshape(B, Hkv, G, D)
     if Gp != G:
         qh = jnp.pad(qh, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
     ks = jnp.transpose(k_scale, (0, 2, 1)).astype(jnp.float32)  # (B, Hkv, S)
     vs = jnp.transpose(v_scale, (0, 2, 1)).astype(jnp.float32)
 
-    out = _fd_call(
+    call = _fd_batched_call if batched else _fd_call
+    out = call(
         qh.astype(jnp.float32), k_q, ks, v_q, vs,
         jnp.asarray(pos, jnp.int32), bs=bs, window=window, interpret=interpret,
     )

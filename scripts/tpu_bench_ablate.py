@@ -24,24 +24,28 @@ os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
 import numpy as np
 
 
-def build(lmhead="int8", body="w4"):
+def build(lmhead="int8", body="w4", model_name="270m"):
     import dataclasses
 
     import jax
 
     import onnx_quantize_tpu as oqt
     from onnx_quantize_tpu.models.gemma3 import (
+        GEMMA3_1B,
         GEMMA3_270M,
         Gemma3,
         fuse_gemma3_projections,
     )
 
     cpu = jax.devices("cpu")[0]
-    cfg = dataclasses.replace(GEMMA3_270M, dtype="bfloat16")
+    base = GEMMA3_1B if model_name == "1b" else GEMMA3_270M
+    cfg = dataclasses.replace(base, dtype="bfloat16")
     model = Gemma3(cfg)
     with jax.default_device(cpu):
         params = model.init(jax.random.key(0))
-        if body == "w8":
+        if body == "fp":
+            pass  # bf16 body (baseline arm)
+        elif body == "w8":
             qconfig = oqt.QConfig(
                 weights=oqt.QWeightArgs(dtype="int8", group_size=-1, symmetric=True),
                 ignore=["lm_head"],
@@ -51,7 +55,8 @@ def build(lmhead="int8", body="w4"):
                 weights=oqt.QWeightArgs(dtype="uint4", group_size=128),
                 ignore=["lm_head"],
             )
-        params, _ = oqt.quantize(model, params, qconfig)
+        if body != "fp":
+            params, _ = oqt.quantize(model, params, qconfig)
         if body == "w4a8":
             from onnx_quantize_tpu import ops as oqt_ops
 
@@ -74,7 +79,7 @@ def build(lmhead="int8", body="w4"):
 
 
 def tput(model, params, *, kv_quant=True, max_seq=512, batch=32,
-         prompt_len=128, steps=64, repeats=5):
+         prompt_len=128, steps=64, repeats=5, fused=False):
     import jax
     import jax.numpy as jnp
     import jax.tree_util as jtu
@@ -85,7 +90,7 @@ def tput(model, params, *, kv_quant=True, max_seq=512, batch=32,
     params = jtu.tree_map(lambda a: jax.device_put(a, device), params)
     engine = InferenceEngine(
         model, params, max_batch=batch, max_seq=max_seq, kv_quant=kv_quant,
-        dtype=jnp.bfloat16, fused_attention=False,
+        dtype=jnp.bfloat16, fused_attention=fused,
     )
     rng = np.random.default_rng(0)
     ids = rng.integers(1, model.cfg.vocab_size, size=(batch, prompt_len)).astype(np.int32)
@@ -121,9 +126,11 @@ def tput(model, params, *, kv_quant=True, max_seq=512, batch=32,
 
 ARMS = {
     "headline": dict(),
+    "baseline": dict(body="fp", lmhead="fp", kv_quant=False),
     "smax256": dict(max_seq=256),
     "smax1024": dict(max_seq=1024),
     "kvbf16": dict(kv_quant=False),
+    "fused": dict(fused=True),
     "lmhead_w4": dict(lmhead="w4"),
     "lmhead_fp": dict(lmhead="fp"),
     "body_w8": dict(body="w8"),
@@ -132,7 +139,13 @@ ARMS = {
 
 
 def main():
-    want = sys.argv[1:] or list(ARMS)
+    args = sys.argv[1:]
+    model_name = "270m"
+    if "--model" in args:
+        i = args.index("--model")
+        model_name = args[i + 1].lower()
+        del args[i : i + 2]
+    want = args or list(ARMS)
     built = {}
     for name in want:
         knobs = dict(ARMS[name])
@@ -140,12 +153,12 @@ def main():
         body = knobs.pop("body", "w4")
         key = (lmhead, body)
         if key not in built:
-            built[key] = build(lmhead, body)
+            built[key] = build(lmhead, body, model_name)
         model, params = built[key]
         med, lo, hi = tput(model, params, **knobs)
         us_per_step = 32 * 64 / med * 1e6 / 64
         print(json.dumps({
-            "arm": name, "tok_s": round(med, 1),
+            "arm": name, "model": model_name, "tok_s": round(med, 1),
             "spread": [round(lo, 1), round(hi, 1)],
             "us_per_step": round(us_per_step, 1),
         }), flush=True)

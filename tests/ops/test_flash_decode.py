@@ -21,11 +21,13 @@ def _random_case(rng, B=2, S=256, Hq=4, Hkv=1, D=128):
             jnp.asarray(v_q), jnp.asarray(v_s))
 
 
+@pytest.mark.parametrize("batched", [True, False])
 @pytest.mark.parametrize("window", [None, 64])
-def test_flash_decode_matches_reference(rng, window):
+def test_flash_decode_matches_reference(rng, window, batched):
     q, k_q, k_s, v_q, v_s = _random_case(rng)
     pos = jnp.asarray([200, 37], jnp.int32)  # ragged lengths across blocks
-    out = flash_decode_int8(q, k_q, k_s, v_q, v_s, pos, window=window, bs=128)
+    out = flash_decode_int8(q, k_q, k_s, v_q, v_s, pos, window=window, bs=128,
+                            batched=batched)
     ref = flash_decode_int8_reference(q, k_q, k_s, v_q, v_s, pos, window=window)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
 
@@ -34,7 +36,7 @@ def test_flash_decode_gqa_groups(rng):
     """Hkv > 1 with grouped query heads."""
     q, k_q, k_s, v_q, v_s = _random_case(rng, Hq=8, Hkv=2)
     pos = jnp.asarray([255, 128], jnp.int32)
-    out = flash_decode_int8(q, k_q, k_s, v_q, v_s, pos)
+    out = flash_decode_int8(q, k_q, k_s, v_q, v_s, pos, batched=True)
     ref = flash_decode_int8_reference(q, k_q, k_s, v_q, v_s, pos)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
 
