@@ -155,14 +155,21 @@ def _fd_call(q, k_q, ks, v_q, vs, pos, *, bs, window, interpret):
 
 
 def _fd_batched_kernel(rng_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
-                       o_ref, m_ref, l_ref, acc_ref, *, B, bs, n_s, window):
-    """Whole-batch blocks: grid (Hkv, n_s) — ~B x fewer grid instances than
-    the per-sequence grid (the per-instance overhead on this runtime made the
-    (B, Hkv, n_s) variant lose to plain XLA at B=32; see BENCH.md round 2).
+                       o_ref, m_ref, l_ref, acc_ref, *, bb, bs, n_s, window):
+    """Batch-blocked grid (B/bb, Hkv, n_s) — up to ~B x fewer grid instances
+    than the per-sequence grid (the per-instance overhead on this runtime made
+    the per-sequence variant lose to plain XLA at B=32; see BENCH.md round 2).
 
-    The batch loop is statically unrolled with 2D dots (Mosaic's dot lowering
-    is 2D; the unroll pattern matches the W4 kernel's ppb loop)."""
-    s = pl.program_id(1)
+    The in-block batch loop is statically unrolled with 2D dots (Mosaic's dot
+    lowering is 2D; the unroll pattern matches the W4 kernel's ppb loop).
+    Mosaic stack-allocates every unrolled iteration's dequant temps
+    simultaneously (~2*bs*D*8 bytes each, measured as a 16.56M scoped-vmem OOM
+    at B=32 whole-batch blocks), so the wrapper picks ``bb`` by charging the
+    temps per unrolled row."""
+    s = pl.program_id(2)
+    # Hoisted: program_id inside a pl.when body escapes the pallas trace in
+    # interpret mode (MLIR lowering error on cpu).
+    b0 = pl.program_id(0) * bb
 
     @pl.when(s == 0)
     def _():
@@ -174,8 +181,8 @@ def _fd_batched_kernel(rng_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
 
     @pl.when(live)
     def _():
-        for b in range(B):
-            pos = pos_ref[b]
+        for b in range(bb):
+            pos = pos_ref[b0 + b]
             q = q_ref[b, 0]  # (Gp, D) f32, pre-scaled
             kf = k_ref[b, :, 0, :].astype(jnp.int32).astype(jnp.float32)
             scores = jax.lax.dot_general(
@@ -215,15 +222,15 @@ def _fd_batched_kernel(rng_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bs", "window", "interpret"))
-def _fd_batched_call(q, k_q, ks, v_q, vs, pos, *, bs, window, interpret):
+@functools.partial(jax.jit, static_argnames=("bb", "bs", "window", "interpret"))
+def _fd_batched_call(q, k_q, ks, v_q, vs, pos, *, bb, bs, window, interpret):
     B, Hkv, Gp, D = q.shape
     S = k_q.shape[1]
     n_s = S // bs
 
     # Global live-block range (min/max over the batch): the per-block DMA is
-    # whole-batch, so the clamp can only skip blocks dead for EVERY sequence;
-    # per-sequence raggedness is handled by the in-kernel masks.
+    # batch-block-wide, so the clamp can only skip blocks dead for EVERY
+    # sequence; per-sequence raggedness is handled by the in-kernel masks.
     hi_b = jnp.clip(pos // bs, 0, n_s - 1)
     lo_b = (
         jnp.zeros_like(pos) if window is None
@@ -231,34 +238,34 @@ def _fd_batched_call(q, k_q, ks, v_q, vs, pos, *, bs, window, interpret):
     )
     rng = jnp.stack([jnp.clip(jnp.min(lo_b), 0, n_s - 1), jnp.max(hi_b)])
 
-    def kv_idx(h, s, rng_ref, pos_ref):
-        return (0, jnp.clip(s, rng_ref[0], rng_ref[1]), h, 0)
+    def kv_idx(b, h, s, rng_ref, pos_ref):
+        return (b, jnp.clip(s, rng_ref[0], rng_ref[1]), h, 0)
 
-    def scale_idx(h, s, rng_ref, pos_ref):
-        return (0, h, jnp.clip(s, rng_ref[0], rng_ref[1]))
+    def scale_idx(b, h, s, rng_ref, pos_ref):
+        return (b, h, jnp.clip(s, rng_ref[0], rng_ref[1]))
 
     kernel = functools.partial(
-        _fd_batched_kernel, B=B, bs=bs, n_s=n_s, window=window
+        _fd_batched_kernel, bb=bb, bs=bs, n_s=n_s, window=window
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(Hkv, n_s),
+        grid=(B // bb, Hkv, n_s),
         in_specs=[
-            pl.BlockSpec((B, 1, Gp, D), lambda h, s, r, p: (0, h, 0, 0),
+            pl.BlockSpec((bb, 1, Gp, D), lambda b, h, s, r, p: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, bs, 1, D), kv_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, bs), scale_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, bs, 1, D), kv_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, bs), scale_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, bs, 1, D), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, bs), scale_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, bs, 1, D), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, bs), scale_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (B, 1, Gp, D), lambda h, s, r, p: (0, h, 0, 0),
+            (bb, 1, Gp, D), lambda b, h, s, r, p: (b, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, Gp, 1), jnp.float32),
-            pltpu.VMEM((B, Gp, 1), jnp.float32),
-            pltpu.VMEM((B, Gp, D), jnp.float32),
+            pltpu.VMEM((bb, Gp, 1), jnp.float32),
+            pltpu.VMEM((bb, Gp, 1), jnp.float32),
+            pltpu.VMEM((bb, Gp, D), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -266,7 +273,7 @@ def _fd_batched_call(q, k_q, ks, v_q, vs, pos, *, bs, window, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(rng, pos, q, k_q, ks, v_q, vs)
@@ -294,12 +301,21 @@ def flash_decode_int8(q, k_q, k_scale, v_q, v_scale, pos, *,
     bs = min(bs, S)
     assert S % bs == 0, (S, bs)
 
+    # Batch-block size: largest divisor of B whose footprint fits. Mosaic
+    # stack-allocates the dequant temps of EVERY unrolled batch row at once
+    # (int32 + f32 (bs, D) tiles for K and V each: measured 16.56M scoped-vmem
+    # OOM at B=32 whole-batch blocks on Gemma-1B shapes), so temps are charged
+    # per row; K/V int8 blocks are charged double-buffered.
+    def _bb_bytes(bb_):
+        temps = bb_ * 2 * 2 * bs * D * (4 + 4)
+        blocks = 2 * 2 * bb_ * bs * D + 2 * bb_ * bs * 4
+        state = 5 * bb_ * Gp * D * 4
+        return temps + blocks + state
+
+    divisors = [d for d in range(B, 0, -1) if B % d == 0]
+    bb = next((d for d in divisors if _bb_bytes(d) <= 10 * 1024 * 1024), 1)
     if batched is None:
-        # Whole-batch blocks unless their VMEM footprint (K/V int8 blocks
-        # double-buffered + per-iteration f32 dequant temps + q/out/acc)
-        # would crowd the 16M/core scoped budget.
-        est = 2 * 2 * B * bs * D + 2 * bs * D * 4 + 3 * B * Gp * D * 4
-        batched = est <= 12 * 1024 * 1024
+        batched = bb >= 2
 
     qh = q.reshape(B, Hkv, G, D)
     if Gp != G:
@@ -307,11 +323,18 @@ def flash_decode_int8(q, k_q, k_scale, v_q, v_scale, pos, *,
     ks = jnp.transpose(k_scale, (0, 2, 1)).astype(jnp.float32)  # (B, Hkv, S)
     vs = jnp.transpose(v_scale, (0, 2, 1)).astype(jnp.float32)
 
-    call = _fd_batched_call if batched else _fd_call
-    out = call(
-        qh.astype(jnp.float32), k_q, ks, v_q, vs,
-        jnp.asarray(pos, jnp.int32), bs=bs, window=window, interpret=interpret,
-    )
+    if batched:
+        out = _fd_batched_call(
+            qh.astype(jnp.float32), k_q, ks, v_q, vs,
+            jnp.asarray(pos, jnp.int32), bb=bb, bs=bs, window=window,
+            interpret=interpret,
+        )
+    else:
+        out = _fd_call(
+            qh.astype(jnp.float32), k_q, ks, v_q, vs,
+            jnp.asarray(pos, jnp.int32), bs=bs, window=window,
+            interpret=interpret,
+        )
     return out[:, :, :G, :].reshape(B, Hq, D)
 
 

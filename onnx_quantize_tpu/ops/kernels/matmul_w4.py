@@ -42,29 +42,37 @@ def _w4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, signed, n_k,
     # instance overhead (~1.5 us each on this runtime), not bandwidth.
     for p in range(pairs_per_block):
         # Nibble unpack in registers. Mosaic lacks a direct u8->f32 cast, so
-        # go through int32.
+        # go through int32. The u8 source makes ``w >> 4`` already 0..15.
         w = w_ref[p * gs : (p + 1) * gs, :].astype(jnp.int32)
-        low_s = w & 0x0F
-        high_s = (w >> 4) & 0x0F
+        low = w & 0x0F
+        high = w >> 4
         if signed:
-            low_f = jnp.where(low_s > 7, low_s - 16, low_s).astype(jnp.float32)
-            high_f = jnp.where(high_s > 7, high_s - 16, high_s).astype(jnp.float32)
-        else:
-            low_f = low_s.astype(jnp.float32)
-            high_f = high_s.astype(jnp.float32)
-
-        # Scale/zp rows for groups 2(kP+p), 2(kP+p)+1. Scales arrive (G/2, 2, N)
-        # blocked (P, 2, bn); the pair is selected by grid index + static p —
-        # Mosaic cannot prove sublane alignment for dynamic 2k row slices.
-        dq_low = ((low_f - z_ref[p, 0:1, :]) * s_ref[p, 0:1, :]).astype(compute_dtype)
-        dq_high = ((high_f - z_ref[p, 1:2, :]) * s_ref[p, 1:2, :]).astype(compute_dtype)
+            low = jnp.where(low > 7, low - 16, low)
+            high = jnp.where(high > 7, high - 16, high)
+        # Raw nibble values are exact in bf16; the dequant affine moves OFF
+        # the (gs, bn) weight tile and onto the (bm, bn) partial product:
+        # scale/zp rows are constant within a tile, so
+        #   x @ ((w - zp) * s) == (x @ w - sum(x) * zp) * s.
+        # This cuts the VPU chain from ~6 ops/weight (sub, mul, casts) to the
+        # unpack alone (~2.5) — at Gemma-1B decode shapes the old chain was
+        # the binding cost (283 GB/s on gate_up vs W8's 643; BENCH.md r2).
+        low_c = low.astype(jnp.float32).astype(compute_dtype)
+        high_c = high.astype(jnp.float32).astype(compute_dtype)
 
         x = x_ref[:]
         lo = 2 * p * gs
-        acc_ref[:] += jnp.dot(
-            x[:, lo : lo + gs], dq_low, preferred_element_type=jnp.float32
-        ) + jnp.dot(x[:, lo + gs : lo + 2 * gs], dq_high,
-                    preferred_element_type=jnp.float32)
+        xl = x[:, lo : lo + gs]
+        xh = x[:, lo + gs : lo + 2 * gs]
+        dot_l = jnp.dot(xl, low_c, preferred_element_type=jnp.float32)
+        dot_h = jnp.dot(xh, high_c, preferred_element_type=jnp.float32)
+        # Scale/zp rows for groups 2(kP+p), 2(kP+p)+1. Scales arrive (G/2, 2, N)
+        # blocked (P, 2, bn); the pair is selected by grid index + static p —
+        # Mosaic cannot prove sublane alignment for dynamic 2k row slices.
+        xs_l = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
+        xs_h = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+        acc_ref[:] += (dot_l - xs_l * z_ref[p, 0:1, :]) * s_ref[p, 0:1, :] + (
+            dot_h - xs_h * z_ref[p, 1:2, :]
+        ) * s_ref[p, 1:2, :]
 
     @pl.when(k == n_k - 1)
     def _():

@@ -44,27 +44,36 @@ def _w4a8_kernel(sx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
     for p in range(ppb):
         w = w_ref[p * gs : (p + 1) * gs, :].astype(jnp.int32)
         low = w & 0x0F
-        high = (w >> 4) & 0x0F
+        high = w >> 4  # u8 source: already 0..15
         if signed:
             low = jnp.where(low > 7, low - 16, low)
             high = jnp.where(high > 7, high - 16, high)
-        # Center by the (integer-valued) zero point: range [-15, 15] fits int8.
-        low_c = (low - z_ref[p, 0:1, :].astype(jnp.int32)).astype(jnp.int8)
-        high_c = (high - z_ref[p, 1:2, :].astype(jnp.int32)).astype(jnp.int8)
+        # Dot the RAW nibbles (fit int8) and fold the integer zero point into
+        # the (bm, bn) partial via the int x-sums — exact, since every term is
+        # an integer well below 2^24:
+        #   x @ (w - zp) == x @ w - sum(x) * zp.
+        low_c = low.astype(jnp.int8)
+        high_c = high.astype(jnp.int8)
 
         x = x_ref[:]
         lo = 2 * p * gs
+        xl = x[:, lo : lo + gs]
+        xh = x[:, lo + gs : lo + 2 * gs]
         acc_low = jax.lax.dot_general(
-            x[:, lo : lo + gs], low_c, (((1,), (0,)), ((), ())),
+            xl, low_c, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         acc_high = jax.lax.dot_general(
-            x[:, lo + gs : lo + 2 * gs], high_c, (((1,), (0,)), ((), ())),
+            xh, high_c, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
+        xs_l = jnp.sum(xl.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+        xs_h = jnp.sum(xh.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
         acc_ref[:] += (
-            acc_low.astype(jnp.float32) * (sx * s_ref[p, 0:1, :])
-            + acc_high.astype(jnp.float32) * (sx * s_ref[p, 1:2, :])
+            (acc_low.astype(jnp.float32) - xs_l * z_ref[p, 0:1, :])
+            * (sx * s_ref[p, 0:1, :])
+            + (acc_high.astype(jnp.float32) - xs_h * z_ref[p, 1:2, :])
+            * (sx * s_ref[p, 1:2, :])
         )
 
     @pl.when(k == n_k - 1)

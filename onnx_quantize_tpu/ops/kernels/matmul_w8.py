@@ -34,19 +34,17 @@ def _w8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k, symmetric,
 
     # Scale row for this K tile arrives as a (1, 1, bn) block of (n_k, 1, N).
     # int32 intermediate: Mosaic lacks a direct u8->f32 cast for uint8 weights.
+    # Both paths dot the raw casted weights and fold the dequant affine into
+    # the (bm, bn) partial product (x @ ((w - zp) * s) == (x @ w - sum(x) * zp)
+    # * s — scale/zp rows are constant within the K tile), keeping the per-
+    # weight VPU chain to the cast alone.
+    wq = w_ref[:].astype(jnp.int32).astype(jnp.float32).astype(compute_dtype)
+    part = jnp.dot(x_ref[:], wq, preferred_element_type=jnp.float32)
     if symmetric:
-        # zp == 0: dot the raw casted weights and fold the scale into the
-        # (bm, bn) partial product — K/bm x less VPU multiply work than
-        # scaling the (bk, bn) weight tile, and no f32 dequant tile.
-        wq = w_ref[:].astype(jnp.int32).astype(jnp.float32).astype(compute_dtype)
-        part = jnp.dot(x_ref[:], wq, preferred_element_type=jnp.float32)
         acc_ref[:] += part * s_ref[0, 0:1, :]
     else:
-        dq = (
-            (w_ref[:].astype(jnp.int32).astype(jnp.float32) - z_ref[0, 0:1, :])
-            * s_ref[0, 0:1, :]
-        ).astype(compute_dtype)
-        acc_ref[:] += jnp.dot(x_ref[:], dq, preferred_element_type=jnp.float32)
+        xs = jnp.sum(x_ref[:].astype(jnp.float32), axis=1, keepdims=True)
+        acc_ref[:] += (part - xs * z_ref[0, 0:1, :]) * s_ref[0, 0:1, :]
 
     @pl.when(k == n_k - 1)
     def _():
@@ -101,14 +99,14 @@ _W8_BUDGET = 10 * 1024 * 1024
 
 
 def _w8_step_bytes(bm, bk, bn, symmetric):
-    # Weight tile (u8 + its bf16 cast; asymmetric adds the f32 dequant tile)
-    # + x chunk + acc scratch + out block. The symmetric fast path folds the
-    # scale into the (bm, bn) partial, so its blocks can be larger. The
-    # largest on-chip-verified config sits at ~8M under this accounting
-    # (640x4096 sym); the 10M budget keeps picks in that proven range under
-    # the 16M/core scoped-vmem limit with Mosaic's double buffering.
-    mult = 3 if symmetric else 5
-    return bk * bn * mult + bm * bk * 4 + 2 * bm * bn * 4
+    # Weight tile (u8 + its bf16 cast; both paths now dot raw weights and
+    # fold the dequant affine into the (bm, bn) partial) + x chunk + acc
+    # scratch + out block. The largest on-chip-verified config sits at ~8M
+    # under this accounting (640x4096 sym); the 10M budget keeps picks in
+    # that proven range under the 16M/core scoped-vmem limit with Mosaic's
+    # double buffering.
+    del symmetric
+    return bk * bn * 3 + bm * bk * 4 + 2 * bm * bn * 4
 
 
 def _lane_divisors(n):

@@ -45,20 +45,34 @@ def _gelu_tanh(x):
     return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
 
 
-def _unpack_pair(w_u8, s_ref, z_ref, k, signed, compute_dtype):
-    """Dequantize packed rows of group pair ``k`` -> two (gs, N) tiles."""
+def _unpack_pair(w_u8, signed, compute_dtype):
+    """Unpack packed rows of one group pair -> two raw (gs, N) nibble tiles.
+
+    The dequant affine is folded into the (M, bn) partial product by the
+    caller (x @ ((w - zp) * s) == (x @ w - sum(x) * zp) * s — scale/zp rows
+    are constant within a group tile), same as ``matmul_w4.py``: the per-
+    weight VPU chain is the unpack alone."""
     w = w_u8.astype(jnp.int32)
-    low_s = w & 0x0F
-    high_s = (w >> 4) & 0x0F
+    low = w & 0x0F
+    high = w >> 4  # u8 source: already 0..15
     if signed:
-        low_f = jnp.where(low_s > 7, low_s - 16, low_s).astype(jnp.float32)
-        high_f = jnp.where(high_s > 7, high_s - 16, high_s).astype(jnp.float32)
-    else:
-        low_f = low_s.astype(jnp.float32)
-        high_f = high_s.astype(jnp.float32)
-    dq_low = ((low_f - z_ref[k, 0:1, :]) * s_ref[k, 0:1, :]).astype(compute_dtype)
-    dq_high = ((high_f - z_ref[k, 1:2, :]) * s_ref[k, 1:2, :]).astype(compute_dtype)
-    return dq_low, dq_high
+        low = jnp.where(low > 7, low - 16, low)
+        high = jnp.where(high > 7, high - 16, high)
+    return (
+        low.astype(jnp.float32).astype(compute_dtype),
+        high.astype(jnp.float32).astype(compute_dtype),
+    )
+
+
+def _pair_partial(xl, xh, nl, nh, s_ref, z_ref, k):
+    """(x @ w_pair) with the dequant affine applied to the partials."""
+    dot_l = jnp.dot(xl, nl, preferred_element_type=jnp.float32)
+    dot_h = jnp.dot(xh, nh, preferred_element_type=jnp.float32)
+    xs_l = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
+    xs_h = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+    return (dot_l - xs_l * z_ref[k, 0:1, :]) * s_ref[k, 0:1, :] + (
+        dot_h - xs_h * z_ref[k, 1:2, :]
+    ) * s_ref[k, 1:2, :]
 
 
 def _mlp_kernel(x_ref, wg_ref, sg_ref, zg_ref, wd_ref, sd_ref, zd_ref, o_ref,
@@ -67,15 +81,12 @@ def _mlp_kernel(x_ref, wg_ref, sg_ref, zg_ref, wd_ref, sd_ref, zd_ref, o_ref,
     # Phase 1: h = x @ dq(W_gate_up), statically unrolled over group pairs.
     h_ref[:] = jnp.zeros_like(h_ref)
     for k in range(pairs_g):
-        dq_low, dq_high = _unpack_pair(
-            wg_ref[k * gs_g : (k + 1) * gs_g, :], sg_ref, zg_ref, k,
-            signed_g, compute_dtype,
+        nl, nh = _unpack_pair(
+            wg_ref[k * gs_g : (k + 1) * gs_g, :], signed_g, compute_dtype
         )
         xl = x_ref[:, 2 * k * gs_g : (2 * k + 1) * gs_g]
         xh = x_ref[:, (2 * k + 1) * gs_g : (2 * k + 2) * gs_g]
-        h_ref[:] += jnp.dot(
-            xl, dq_low, preferred_element_type=jnp.float32
-        ) + jnp.dot(xh, dq_high, preferred_element_type=jnp.float32)
+        h_ref[:] += _pair_partial(xl, xh, nl, nh, sg_ref, zg_ref, k)
 
     # Phase 2: GeGLU in f32, cast to the compute dtype, zero-pad the tail
     # columns (the down weights' padded K region carries nonzero dequant
@@ -92,15 +103,12 @@ def _mlp_kernel(x_ref, wg_ref, sg_ref, zg_ref, wd_ref, sd_ref, zd_ref, o_ref,
     # Phase 3: y = act @ dq(W_down).
     acc = jnp.zeros(o_ref.shape, jnp.float32)
     for j in range(pairs_d):
-        dq_low, dq_high = _unpack_pair(
-            wd_ref[j * gs_d : (j + 1) * gs_d, :], sd_ref, zd_ref, j,
-            signed_d, compute_dtype,
+        nl, nh = _unpack_pair(
+            wd_ref[j * gs_d : (j + 1) * gs_d, :], signed_d, compute_dtype
         )
         al = a_ref[:, 2 * j * gs_d : (2 * j + 1) * gs_d]
         ah = a_ref[:, (2 * j + 1) * gs_d : (2 * j + 2) * gs_d]
-        acc += jnp.dot(
-            al, dq_low, preferred_element_type=jnp.float32
-        ) + jnp.dot(ah, dq_high, preferred_element_type=jnp.float32)
+        acc += _pair_partial(al, ah, nl, nh, sd_ref, zd_ref, j)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 

@@ -135,6 +135,7 @@ ARMS = {
     "lmhead_fp": dict(lmhead="fp"),
     "body_w8": dict(body="w8"),
     "body_w4a8": dict(body="w4a8"),
+    "body_w8_fused": dict(body="w8", fused=True),
 }
 
 
