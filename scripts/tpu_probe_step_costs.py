@@ -59,7 +59,17 @@ def bench(fn, x, *operands, iters_lo=150, iters_hi=600):
     # Slope measurement: each warm call carries a ~32 ms fixed sync/transfer
     # overhead through the tunnel (measured by the harness-floor arm), so
     # per-iteration cost is the SLOPE between two trip counts, not T/iters.
+    # The overhead JITTERS by several ms run-to-run, so the slope delta must
+    # dwarf it: pilot-measure the per-iteration cost, then scale the trip
+    # counts so (t_hi - t_lo) targets ~300 ms (small <10 us arms read 0.0 or
+    # terabytes/s otherwise — two corrupted probe runs on 2026-08-17).
     t_lo, t_hi = timed(iters_lo), timed(iters_hi)
+    est = max(t_hi - t_lo, 1e-9) / (iters_hi - iters_lo)
+    want_hi = int(0.3 / est)
+    if want_hi > 2 * iters_hi:
+        iters_hi = min(want_hi, 200_000)
+        iters_lo = iters_hi // 4
+        t_lo, t_hi = timed(iters_lo), timed(iters_hi)
     return max(t_hi - t_lo, 1e-9) / (iters_hi - iters_lo)
 
 
