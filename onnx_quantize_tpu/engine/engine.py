@@ -31,9 +31,48 @@ from onnx_quantize_tpu.engine.sampling import SamplingParams, sample
 
 logger = get_logger(__name__)
 
-__all__ = ["InferenceEngine"]
+__all__ = ["InferenceEngine", "prepare_kernel_scales"]
 
 _FAR = 1 << 30  # kv_positions sentinel: always masked
+
+
+def prepare_kernel_scales(params):
+    """Pre-bake packed GROUP-quantized scale/zp into the Pallas kernels'
+    padded (G_pad/2, 2, N) group-pair layout.
+
+    The per-call pad/convert/reshape prep in ``matmul_w4._expand_scales`` is
+    memory-expanding, so XLA does NOT hoist it out of the decode scan — at
+    Gemma-1B that is ~8 extra fused kernels per site per step (~1 ms/step,
+    compiled-HLO diagnosis, round 2). Baked once here, the wrapper's
+    pair-layout passthrough skips the prep; ``ops.reference.weight_qparams_2d``
+    slices the layout back for the jnp oracle, so either layout is valid
+    anywhere a QTensor flows."""
+    import dataclasses
+
+    from onnx_quantize_tpu.core.enums import QuantizationStrategy
+    from onnx_quantize_tpu.nn.qtensor import QTensor
+    from onnx_quantize_tpu.ops.kernels.matmul_w4 import _expand_scales
+
+    def prep(leaf):
+        if not (
+            isinstance(leaf, QTensor)
+            and leaf.meta.packed
+            and leaf.meta.strat == QuantizationStrategy.GROUP
+        ):
+            return leaf
+        if getattr(leaf.scale, "ndim", None) == 3:
+            return leaf  # already baked
+        _, N = leaf.meta.shape
+        gs = leaf.meta.pack_group
+        G_pad = 2 * leaf.data.shape[0] // gs
+        s, z = _expand_scales(leaf, G_pad, N)
+        return dataclasses.replace(
+            leaf,
+            scale=s.reshape(G_pad // 2, 2, N),
+            zero_point=z.reshape(G_pad // 2, 2, N),
+        )
+
+    return jax.tree.map(prep, params, is_leaf=lambda x: isinstance(x, QTensor))
 
 
 class InferenceEngine:
@@ -111,7 +150,10 @@ class InferenceEngine:
 
         if mesh is None:
             self._exec_model = model
-            self.params = params
+            # Bake packed-weight scales into the kernel layout once (the TP
+            # path keeps logical layouts — its sharding specs are built per
+            # logical shape).
+            self.params = prepare_kernel_scales(params)
             self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
             self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
             self._decode_multi_jit = jax.jit(
@@ -207,16 +249,20 @@ class InferenceEngine:
     # ── model forward with cache ─────────────────────────────────────────
 
     def _forward(self, params, cache_holder, ids, positions, kv_positions):
-        # Decode steps (T == 1) hand the attention the raw int8 cache; the
-        # model routes it to the fused flash-decode kernel.
+        # A quantized cache is always handed over raw: the model either runs
+        # the fused flash-decode kernel (opt-in, decode steps only) or the
+        # scale-folded XLA attend — int8 K/V never materialize dequantized.
         fused = self._fused_attn and ids.shape[1] == 1
+        quantized = self.cache_cfg.quantized
 
         def kv_write_fn(layer, k, v):
             cache_holder["cache"] = write_kv(
                 cache_holder["cache"], layer, k, v, positions
             )
-            if fused:
-                return read_kv_quantized(cache_holder["cache"], layer)
+            if quantized:
+                return read_kv_quantized(
+                    cache_holder["cache"], layer, use_kernel=fused
+                )
             return read_kv(cache_holder["cache"], layer, dtype=self.dtype)
 
         return self._exec_model(

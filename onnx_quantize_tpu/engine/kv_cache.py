@@ -27,13 +27,20 @@ __all__ = ["KVCacheConfig", "QuantizedKV", "init_cache", "write_kv", "read_kv",
 
 @dataclasses.dataclass
 class QuantizedKV:
-    """A layer's int8 K/V cache view, passed to the fused decode-attention
-    kernel without dequantization (see ``ops/kernels/flash_decode.py``)."""
+    """A layer's int8 K/V cache view, consumed without dequantization.
+
+    ``use_kernel=True`` routes decode steps to the fused flash-decode Pallas
+    kernel (``ops/kernels/flash_decode.py``); otherwise the model runs the
+    scale-folded XLA attend: K/V enter the einsums as raw int8 casts (which
+    XLA fuses into the dot reads) and the per-(token, head) scales apply to
+    the score columns / attention weights — no dequantized (B, S, H, D)
+    cache array ever exists."""
 
     k: Any  # (B, S, H_kv, D) int8
     v: Any
     k_scale: Any  # (B, S, H_kv) f32
     v_scale: Any
+    use_kernel: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,11 +110,12 @@ def write_kv(cache: dict, layer: int, k, v, positions) -> dict:
     return new
 
 
-def read_kv_quantized(cache: dict, layer: int) -> QuantizedKV:
+def read_kv_quantized(cache: dict, layer: int, use_kernel: bool = False) -> QuantizedKV:
     """The layer's raw int8 K/V + scales (no dequantization, no HBM copy)."""
     return QuantizedKV(
         k=cache["k"][layer], v=cache["v"][layer],
         k_scale=cache["k_scale"][layer], v_scale=cache["v_scale"][layer],
+        use_kernel=use_kernel,
     )
 
 

@@ -158,7 +158,7 @@ class Gemma3Attention(nn.Module):
             kv = kv_write(self.layer_idx, k, v)
             from onnx_quantize_tpu.engine.kv_cache import QuantizedKV
 
-            if isinstance(kv, QuantizedKV):
+            if isinstance(kv, QuantizedKV) and kv.use_kernel:
                 # Fused decode attention over the raw int8 cache: one kernel
                 # per layer, no float cache materialization (T == 1 only).
                 from onnx_quantize_tpu.ops.kernels.flash_decode import flash_decode_int8
@@ -168,6 +168,30 @@ class Gemma3Attention(nn.Module):
                     positions[:, 0],
                     window=None if self.is_global else cfg.sliding_window,
                 )
+                out = out.reshape(B, T, cfg.num_heads * cfg.head_dim)
+                return self.o_proj(params["o_proj"], out.astype(x.dtype), ctx=ctx)
+            if isinstance(kv, QuantizedKV):
+                # Scale-folded XLA attend on the raw int8 cache: the per-
+                # (token, head) K scale is a column scale of the score matrix
+                # and the V scale folds into the attention weights, so the
+                # einsums consume plain int8->bf16 casts (fused into the dot
+                # reads by XLA) and no dequantized (B, S, H, D) array exists:
+                #   scores = (q @ K_i8^T) * ks[s];  out = (p * vs[s]) @ V_i8.
+                S = kv.k.shape[1]
+                group = cfg.num_heads // cfg.num_kv_heads
+                qg = q.reshape(B, T, cfg.num_kv_heads, group, cfg.head_dim)
+                logits = jnp.einsum(
+                    "btkgh,bskh->bkgts", qg, kv.k.astype(q.dtype)
+                )
+                ks = jnp.transpose(kv.k_scale, (0, 2, 1))  # (B, Hkv, S) f32
+                logits = (
+                    logits.astype(jnp.float32) * ks[:, :, None, None, :]
+                    + mask[:, :, None, :, :S].astype(jnp.float32)
+                )
+                probs = jax.nn.softmax(logits, axis=-1)
+                vs = jnp.transpose(kv.v_scale, (0, 2, 1))
+                pv = (probs * vs[:, :, None, None, :]).astype(q.dtype)
+                out = jnp.einsum("bkgts,bskh->btkgh", pv, kv.v.astype(q.dtype))
                 out = out.reshape(B, T, cfg.num_heads * cfg.head_dim)
                 return self.o_proj(params["o_proj"], out.astype(x.dtype), ctx=ctx)
             k, v = kv

@@ -135,10 +135,17 @@ def _w4_call(x2d, data, scales, zps, *, gs, signed, bm, bn, ppb, interpret,
 
 
 def _expand_scales(qt: QTensor, G_pad: int, N: int):
-    """Normalize scale/zp to (G_pad, N) f32 rows, padded with (1, 0)."""
+    """Normalize scale/zp to (G_pad, N) f32 rows, padded with (1, 0).
+
+    Inside a decode loop this pad/convert chain is NOT hoisted by XLA (it is
+    memory-expanding), costing ~8 extra fused kernels per site per step —
+    ``engine.prepare_kernel_scales`` pre-bakes the (G_pad/2, 2, N) layout at
+    load time, which short-circuits here via the pair-layout passthrough."""
     strat = qt.meta.strat
     scale = jnp.asarray(qt.scale, jnp.float32)
     zp = jnp.asarray(qt.zero_point, jnp.float32)
+    if scale.ndim == 3:  # already (G_pad/2, 2, N) kernel layout
+        return scale.reshape(-1, N), zp.reshape(-1, N)
     if strat == QuantizationStrategy.GROUP:
         G = scale.shape[0]
         if G != G_pad:

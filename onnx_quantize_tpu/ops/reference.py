@@ -42,12 +42,27 @@ def unpack_weight(qt: QTensor) -> jnp.ndarray:
     return qt.data
 
 
+def weight_qparams_2d(qt: QTensor):
+    """(scale, zp) as f32 in the logical layout (scalar / (N,) / (G, N)).
+
+    Accepts the engine's pre-baked kernel layout ((G_pad/2, 2, N) padded group
+    pairs — see ``engine.prepare_kernel_scales``) and slices it back to the
+    real (G, N) rows so the oracle stays layout-agnostic."""
+    scale = jnp.asarray(qt.scale, jnp.float32)
+    zp = jnp.asarray(qt.zero_point, jnp.float32)
+    if scale.ndim == 3:
+        K, N = qt.meta.shape
+        G = -(-K // qt.meta.pack_group)
+        scale = scale.reshape(-1, N)[:G]
+        zp = zp.reshape(-1, N)[:G]
+    return scale, zp
+
+
 def dequantize_weight(qt: QTensor) -> jnp.ndarray:
     """Dequantize a QTensor to (K, N) float32 per its strategy."""
     K, N = qt.meta.shape
     w = unpack_weight(qt).astype(jnp.float32)
-    scale = jnp.asarray(qt.scale, jnp.float32)
-    zp = jnp.asarray(qt.zero_point, jnp.float32)
+    scale, zp = weight_qparams_2d(qt)
     strat = qt.meta.strat
 
     if strat == QuantizationStrategy.TENSOR:
