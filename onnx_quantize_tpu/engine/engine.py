@@ -248,7 +248,8 @@ class InferenceEngine:
 
     # ── model forward with cache ─────────────────────────────────────────
 
-    def _forward(self, params, cache_holder, ids, positions, kv_positions):
+    def _forward(self, params, cache_holder, ids, positions, kv_positions,
+                 last_lengths=None):
         # A quantized cache is always handed over raw: the model either runs
         # the fused flash-decode kernel (opt-in, decode steps only) or the
         # scale-folded XLA attend — int8 K/V never materialize dequantized.
@@ -265,10 +266,29 @@ class InferenceEngine:
                 )
             return read_kv(cache_holder["cache"], layer, dtype=self.dtype)
 
-        return self._exec_model(
+        model = self._exec_model
+        if last_lengths is None:
+            return model(
+                params, ids, positions=positions, kv_write=kv_write_fn,
+                kv_positions=kv_positions,
+            )
+        # Prefill only needs next-token logits: gather the last valid hidden
+        # state per row BEFORE the lm_head, so the (T, vocab) projection —
+        # ~40% of prefill FLOPs at a 262k vocab, and a scoped-vmem OOM for
+        # the packed-W4 head at (B*T, 262k) — runs at (B, 1) instead.
+        hidden = model.hidden_states(
             params, ids, positions=positions, kv_write=kv_write_fn,
             kv_positions=kv_positions,
         )
+        h_last = jnp.take_along_axis(
+            hidden, (last_lengths - 1)[:, None, None], axis=1
+        )  # (B, 1, H)
+        logits = model.lm_head(params["lm_head"], h_last)
+        if model._tp_gather_logits is not None:
+            logits = jax.lax.all_gather(
+                logits, model._tp_gather_logits, axis=logits.ndim - 1, tiled=True
+            )
+        return logits
 
     def _prefill_impl(self, params, cache, ids, lengths, slot_mask):
         """ids: (B, T_pad) int32; lengths: (B,) true lengths; slot_mask: (B,)
@@ -281,9 +301,8 @@ class InferenceEngine:
         kv_positions = jnp.where(slot < lengths[:, None], slot, _FAR)
 
         holder = {"cache": dict(cache)}
-        logits = self._forward(params, holder, ids, positions, kv_positions)
-        last = jnp.take_along_axis(
-            logits, (lengths - 1)[:, None, None], axis=1
+        last = self._forward(
+            params, holder, ids, positions, kv_positions, last_lengths=lengths
         )[:, 0]  # (B, V)
         new = holder["cache"]
         merged = {}

@@ -216,7 +216,14 @@ def _pick_blocks(bm: int, N: int, gs: int, n_pairs: int) -> tuple[int, int]:
             + 2 * ppb * 2 * bn * 4   # scale + zp blocks
             + bm * bn * 4          # out block
         )
-        temps = 16 * gs * bn       # ~4 f32 (gs, bn) unpack/dequant tiles
+        if bm <= 64:
+            temps = 16 * gs * bn   # decode-proven: ~4 f32 (gs, bn) tiles
+        else:
+            # Large-M (prefill/perplexity) compiles charge the unpack temps
+            # PER UNROLLED PAIR (~24 B/elem: int32 w + low/high + f32 casts) —
+            # measured: 21M scoped-vmem OOM at bm=256, ppb=5, N=262144 where
+            # the shared-temps model predicted 9M.
+            temps = ppb * 24 * gs * bn
         return 2 * streamed + temps + bm * bn * 4  # + acc scratch
 
     # All lane-tileable divisors of N, largest first (non-power-of-two shapes
