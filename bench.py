@@ -144,13 +144,15 @@ def main():
 
     import dataclasses
 
-    # OQT_BENCH_MODEL=1b benches Gemma-3-1B (weights dominate the step there,
-    # so quantization separates much harder from bf16 — see BENCH.md); the
-    # driver default stays the 270M flagship.
+    # OQT_BENCH_MODEL=1b/4b benches the larger family members (weight bytes
+    # dominate the step there, so quantization separates much harder from
+    # bf16 — see BENCH.md); the driver default stays the 270M flagship.
     model_name = os.environ.get("OQT_BENCH_MODEL", "270m").lower()
 
     if on_accel:
-        base = GEMMA3_1B if model_name == "1b" else GEMMA3_270M
+        from onnx_quantize_tpu.models.gemma3 import GEMMA3_4B
+
+        base = {"1b": GEMMA3_1B, "4b": GEMMA3_4B}.get(model_name, GEMMA3_270M)
         cfg = dataclasses.replace(base, dtype="bfloat16")
         # B=32: decode on this runtime is per-step-cost bound, so throughput
         # scales with batch until memory pressure (see BENCH.md).

@@ -6,9 +6,12 @@ from onnx_quantize_tpu.models.gemma3 import (
     Gemma3Config,
     fuse_gemma3_projections,
 )
+from onnx_quantize_tpu.models.bert import BertClassifier, BertConfig
 from onnx_quantize_tpu.models.transformer import TransformerConfig, TransformerLM
 
 __all__ = [
+    "BertClassifier",
+    "BertConfig",
     "Gemma3",
     "Gemma3Config",
     "GEMMA3_270M",

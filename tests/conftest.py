@@ -21,6 +21,11 @@ import jax  # noqa: E402
 # interpreter start (so env mutation is too late) — override via jax.config,
 # which is honored until the first backend is initialized.
 jax.config.update("jax_platforms", "cpu")
+# The env vars above are too late for the same reason (jax reads them at
+# import); route the persistent-cache settings through jax.config too.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
