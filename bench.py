@@ -156,7 +156,9 @@ def main():
         cfg = dataclasses.replace(base, dtype="bfloat16")
         # B=32: decode on this runtime is per-step-cost bound, so throughput
         # scales with batch until memory pressure (see BENCH.md).
+        # OQT_BENCH_BATCH overrides for batch-scaling experiments.
         batch, prompt_len, steps, max_seq = 32, 128, 64, 512
+        batch = int(os.environ.get("OQT_BENCH_BATCH", batch))
     else:
         cfg = Gemma3Config.tiny(
             hidden_size=128, intermediate_size=256, num_layers=2, num_heads=2,

@@ -32,13 +32,14 @@ def build(lmhead="int8", body="w4", model_name="270m"):
     import onnx_quantize_tpu as oqt
     from onnx_quantize_tpu.models.gemma3 import (
         GEMMA3_1B,
+        GEMMA3_4B,
         GEMMA3_270M,
         Gemma3,
         fuse_gemma3_projections,
     )
 
     cpu = jax.devices("cpu")[0]
-    base = GEMMA3_1B if model_name == "1b" else GEMMA3_270M
+    base = {"1b": GEMMA3_1B, "4b": GEMMA3_4B}.get(model_name, GEMMA3_270M)
     cfg = dataclasses.replace(base, dtype="bfloat16")
     model = Gemma3(cfg)
     with jax.default_device(cpu):

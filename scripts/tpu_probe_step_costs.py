@@ -122,6 +122,69 @@ def main():
 
     M = 32
 
+    if "--set" in sys.argv and sys.argv[sys.argv.index("--set") + 1] == "4b":
+        # Gemma-3-4B decode shapes (hidden 2560, intermediate 10240, 34
+        # layers, Hq=8/Hkv=4): the first 4B bench measured 26.9 ms/step
+        # quantized where per-shape physics predicts ~7.5 ms — which ops
+        # are off the expected rates at these (wider) shapes?
+        shapes = {
+            "qkv 2560x4096": (2560, 4096),
+            "o_proj 2048x2560": (2048, 2560),
+            "gate_up 2560x20480": (2560, 20480),
+            "down 10240x2560": (10240, 2560),
+            "lm_head_4b 2560x262144": (2560, 262144),
+        }
+        for name, (K, N) in shapes.items():
+            w = (0.05 * rng.standard_normal((K, N))).astype(np.float32)
+            x = jax.device_put(
+                jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16), dev)
+            wb = jax.device_put(jnp.asarray(w, jnp.bfloat16), dev)
+            report(f"{name} bf16", bench(lambda a, wt: a @ wt, x, wb),
+                   2 * K * N / 1e6)
+            qt4 = make_qt(w, "uint4", 128, cpu)
+            report(f"{name} W4 g128",
+                   bench(lambda a, qt: quantized_matmul_pallas(a, qt, None), x, qt4),
+                   K * N / 2 / 1e6)
+            qt8 = make_qt(w, "int8", None, cpu)
+            report(f"{name} W8 int8",
+                   bench(lambda a, qt: quantized_matmul_pallas(a, qt, None), x, qt8),
+                   K * N / 1e6)
+
+        # GQA int8-KV attend at the 4B decode shape (Hkv=4 -> 4x the cache
+        # bytes per layer of 270M/1B).
+        B, S, Hq, Hkv, D = 32, 512, 8, 4, 256
+        k8 = jax.device_put(jnp.asarray(
+            rng.integers(-127, 127, size=(B, S, Hkv, D)), jnp.int8), dev)
+        v8 = jax.device_put(jnp.asarray(
+            rng.integers(-127, 127, size=(B, S, Hkv, D)), jnp.int8), dev)
+        ks = jax.device_put(jnp.asarray(
+            0.01 + 0.001 * rng.random((B, S, Hkv)), jnp.float32), dev)
+        vs = jax.device_put(jnp.asarray(
+            0.01 + 0.001 * rng.random((B, S, Hkv)), jnp.float32), dev)
+        q = jax.device_put(jnp.asarray(
+            rng.standard_normal((B, Hq, D)), jnp.bfloat16), dev)
+        mask = jax.device_put(
+            (jnp.arange(S)[None, :] < 192).astype(jnp.float32), dev)
+        G = Hq // Hkv
+
+        def attend_gqa(qv, k8_, v8_, ks_, vs_, mask_):
+            # Scale-folded (no dequantized cache): scores = (q . k8) * ks.
+            qg = qv.reshape(B, Hkv, G, D)
+            logits = jnp.einsum(
+                "bkgd,bskd->bkgs", qg.astype(jnp.float32), k8_.astype(jnp.float32)
+            ) * ks_.transpose(0, 2, 1)[:, :, None, :]
+            logits = jnp.where(mask_[:, None, None, :] > 0, logits, -1e30)
+            p = jax.nn.softmax(logits, axis=-1)
+            pv = p * vs_.transpose(0, 2, 1)[:, :, None, :]
+            o = jnp.einsum("bkgs,bskd->bkgd", pv, v8_.astype(jnp.float32))
+            return o
+
+        report("attn int8-KV GQA (1 layer)",
+               bench(attend_gqa, q, k8, v8, ks, vs, mask),
+               2 * B * S * Hkv * D / 1e6)
+        print(json.dumps({"probe": "step_costs_4b", "rows": out}))
+        return
+
     if "--set" in sys.argv and sys.argv[sys.argv.index("--set") + 1] == "1b":
         # Gemma-3-1B decode body shapes (hidden 1152, intermediate 6912,
         # 26 layers): where does the quantized 1B step lose its byte
