@@ -126,6 +126,7 @@ class Gemma3Attention(nn.Module):
                 qkv = quantized_matmul(x, w)
             else:
                 qkv = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+            qkv = qkv.astype(x.dtype)  # keep the activation stream in x.dtype
             n_q = cfg.num_heads * cfg.head_dim
             n_k = cfg.num_kv_heads * cfg.head_dim
             q = qkv[..., :n_q]
@@ -250,11 +251,12 @@ class Gemma3MLP(nn.Module):
 
                 M = int(np.prod(x.shape[:-1]))
                 if mlp_w4_eligible(w, dn, M):
-                    return mlp_w4_fused(x, w, dn)
+                    return mlp_w4_fused(x, w, dn).astype(x.dtype)
             if isinstance(w, nn.QTensor):
                 gu = quantized_matmul(x, w)
             else:
                 gu = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+            gu = gu.astype(x.dtype)  # keep the activation stream in x.dtype
             n_gate = gu.shape[-1] // 2  # gate and up are both intermediate_size
             gate, up = gu[..., :n_gate], gu[..., n_gate:]
         else:

@@ -194,6 +194,14 @@ class Linear(Module):
             if b is not None:
                 y = y + b
 
+        # Accumulate in f32 (the QDQ chain and the MXU accumulator are f32),
+        # but hand the ACTIVATION back in the caller's dtype. Without this the
+        # first residual add promotes the whole stream to f32 — measured on
+        # the 4B engine (round 2): f32 attends over the int8 KV cache ran 7x
+        # slower than bf16 and every downstream kernel received f32 operands.
+        # Identity on the f32 test paths.
+        y = y.astype(x.dtype)
+
         if ctx is not None:
             ctx.collect(self._name, "output", y)
         return y
