@@ -253,6 +253,14 @@ def _w4_predicate(x, qt: QTensor, bias) -> bool:
     if not (gs % 8 == 0 and N % 128 == 0):
         return False
     if jax.default_backend() == "tpu":
+        # At prefill-scale M the dot is MXU-compute-bound and the in-kernel
+        # nibble unpack caps the kernel at ~62% of the dense bf16 rate
+        # (BENCH.md roofline table); the jnp fallback (dequantize once, then
+        # a dense dot) is numerically identical and faster there — the
+        # transient dequant traffic is amortized over M rows. Decode-scale M
+        # stays on the fused kernel, where weight bytes dominate.
+        if int(np.prod(x.shape[:-1])) >= 128:
+            return False
         # Compiled lowering needs the x lane-block (2*gs) to be a 128-multiple.
         return gs % 64 == 0
     return True

@@ -127,8 +127,13 @@ def _bias_value(bias):
 
 
 def _qdq_matmul(x, qt: QTensor, bias):
-    w = dequantize_weight(qt)
-    x = _apply_input_quant(x, qt)
+    # The dot runs in the caller's compute dtype (f32 on the oracle/test
+    # paths — identity there; bf16 in the engine, where this path serves
+    # prefill-scale M for W4 sites and a f32 dot would run the MXU at a
+    # fraction of its bf16 rate). The QDQ chain itself stays f32.
+    compute_dtype = x.dtype
+    w = dequantize_weight(qt).astype(compute_dtype)
+    x = _apply_input_quant(x, qt).astype(compute_dtype)
     y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
     b = _bias_value(bias)
     if b is not None:

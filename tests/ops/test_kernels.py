@@ -121,3 +121,19 @@ def test_dispatch_selects_kernels(rng):
     # N not lane-tileable -> falls back to jnp.
     qt_small = _qt(rng, 64, 24, QuantType.QUInt4, QuantizationStrategy.GROUP, 16)
     assert select_kernel(x, qt_small, None) is None
+
+
+def test_w4_predicate_prefill_m_routes_to_jnp(monkeypatch, rng):
+    """At prefill-scale M the fused W4 kernel defers to the dequant+dense jnp
+    path (MXU-compute-bound there; BENCH.md round 2 cont.)."""
+    import jax
+    import jax.numpy as jnp
+
+    from onnx_quantize_tpu.ops.kernels.matmul_w4 import _w4_predicate
+
+    qt = _qt(rng, 256, 128, QuantType.QUInt4, QuantizationStrategy.GROUP, 64)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    x_decode = jnp.zeros((32, 256), jnp.bfloat16)
+    x_prefill = jnp.zeros((32, 16, 256), jnp.bfloat16)
+    assert _w4_predicate(x_decode, qt, None) is True
+    assert _w4_predicate(x_prefill, qt, None) is False
