@@ -24,7 +24,7 @@ os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
 import numpy as np
 
 
-def _build(model_cfg, quantized: bool, cpu_device):
+def _build(model_cfg, quantized: bool, cpu_device, head: str = "int8"):
     import jax
 
     import onnx_quantize_tpu as oqt
@@ -37,17 +37,27 @@ def _build(model_cfg, quantized: bool, cpu_device):
         params = model.init(jax.random.key(0))
         if quantized:
             # Transformer projections: W4 group-128. The lm_head (the decode
-            # bandwidth hog at 262k vocab) gets int8 per-channel in a second
-            # pass — per-site config mixing via ignore patterns.
+            # bandwidth hog at 262k vocab) is quantized in a second pass —
+            # per-site config mixing via ignore patterns. int8 per-channel
+            # wins at shallow K (640/1152: the W4 unpack is bandwidth-wasted
+            # at fat N); W4 g64 wins at 4B's K=2560 where the unpack
+            # amortizes (BENCH.md round 2 cont., +2.5% end-to-end).
             qconfig = oqt.QConfig(
                 weights=oqt.QWeightArgs(dtype="uint4", group_size=128),
                 ignore=["lm_head"],
             )
             params, _ = oqt.quantize(model, params, qconfig)
-            head_cfg = oqt.QConfig(
-                weights=oqt.QWeightArgs(dtype="int8", group_size=-1, symmetric=True),
-                ignore=[r"^layers\."],
-            )
+            if head == "w4":
+                head_cfg = oqt.QConfig(
+                    weights=oqt.QWeightArgs(dtype="uint4", group_size=64),
+                    ignore=[r"^layers\."],
+                )
+            else:
+                head_cfg = oqt.QConfig(
+                    weights=oqt.QWeightArgs(dtype="int8", group_size=-1,
+                                            symmetric=True),
+                    ignore=[r"^layers\."],
+                )
             params, _ = oqt.quantize(model, params, head_cfg)
         # Horizontal q/k/v + gate/up fusion halves the per-step launch count
         # (applied to baseline and quantized alike).
@@ -166,7 +176,8 @@ def main():
         )
         batch, prompt_len, steps, max_seq = 2, 16, 8, 64
 
-    model_q, params_q = _build(cfg, quantized=True, cpu_device=cpu)
+    head = "w4" if model_name == "4b" else "int8"
+    model_q, params_q = _build(cfg, quantized=True, cpu_device=cpu, head=head)
     tput_q, lo_q, hi_q = _decode_tput(
         model_q, params_q, device, batch=batch, prompt_len=prompt_len,
         steps=steps, max_seq=max_seq,
