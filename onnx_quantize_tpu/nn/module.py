@@ -168,11 +168,16 @@ class Linear(Module):
 
         w = params["w"]
         b = params.get("b")
+        # The stream dtype is captured BEFORE the prescale multiply: prescale
+        # is stored f32, and `x * prescale` would otherwise promote a bf16
+        # stream (and the cast-back below would then return f32 — re-creating
+        # the f32-stream regression at every AWQ/SmoothQuant site).
+        in_dtype = x.dtype
         prescale = params.get("prescale")
         if prescale is not None:
             # The folded SmoothQuant/AWQ input scale (the reference's inserted
             # Mul node, smooth_quant.py:76-89).
-            x = x * prescale
+            x = (x * prescale).astype(in_dtype)
 
         if ctx is not None:
             ctx.collect(self._name, "input", x)
@@ -200,7 +205,7 @@ class Linear(Module):
         # the 4B engine (round 2): f32 attends over the int8 KV cache ran 7x
         # slower than bf16 and every downstream kernel received f32 operands.
         # Identity on the f32 test paths.
-        y = y.astype(x.dtype)
+        y = y.astype(in_dtype)
 
         if ctx is not None:
             ctx.collect(self._name, "output", y)

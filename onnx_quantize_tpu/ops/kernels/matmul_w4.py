@@ -256,10 +256,17 @@ def _w4_predicate(x, qt: QTensor, bias) -> bool:
         # At prefill-scale M the dot is MXU-compute-bound and the in-kernel
         # nibble unpack caps the kernel at ~62% of the dense bf16 rate
         # (BENCH.md roofline table); the jnp fallback (dequantize once, then
-        # a dense dot) is numerically identical and faster there — the
-        # transient dequant traffic is amortized over M rows. Decode-scale M
-        # stays on the fused kernel, where weight bytes dominate.
-        if int(np.prod(x.shape[:-1])) >= 128:
+        # a dense dot) is faster there and numerically identical on an f32
+        # stream (under bf16 it rounds the dequantized weights to bf16 — a
+        # documented precision/speed trade, BENCH.md round 2 cont.). The
+        # transient dequant traffic is amortized over M rows. Decode steps —
+        # (B, 1, K) inputs, ANY batch — stay on the fused kernel: inside the
+        # decode scan the dense path would re-materialize full dequantized
+        # weights every step (XLA does not hoist memory-expanding prep out
+        # of while loops).
+        batch_shape = x.shape[:-1]
+        is_decode_step = len(batch_shape) >= 2 and batch_shape[-1] == 1
+        if not is_decode_step and int(np.prod(batch_shape)) >= 128:
             return False
         # Compiled lowering needs the x lane-block (2*gs) to be a 128-multiple.
         return gs % 64 == 0

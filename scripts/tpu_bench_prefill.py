@@ -26,36 +26,24 @@ import numpy as np
 
 
 def build(model_name, quantized):
+    """bench.py's exact build recipe (same quantized config incl. the
+    per-model lm_head choice), so prefill numbers measure the SHIPPED decode
+    configuration rather than a drifted copy."""
     import dataclasses
+    import sys
 
     import jax
 
-    import onnx_quantize_tpu as oqt
-    from onnx_quantize_tpu.models.gemma3 import (
-        GEMMA3_1B,
-        GEMMA3_4B,
-        GEMMA3_270M,
-        Gemma3,
-        fuse_gemma3_projections,
-    )
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _build
+
+    from onnx_quantize_tpu.models.gemma3 import GEMMA3_1B, GEMMA3_4B, GEMMA3_270M
 
     cpu = jax.devices("cpu")[0]
     base = {"1b": GEMMA3_1B, "4b": GEMMA3_4B}.get(model_name, GEMMA3_270M)
     cfg = dataclasses.replace(base, dtype="bfloat16")
-    model = Gemma3(cfg)
-    with jax.default_device(cpu):
-        params = model.init(jax.random.key(0))
-        if quantized:
-            params, _ = oqt.quantize(model, params, oqt.QConfig(
-                weights=oqt.QWeightArgs(dtype="uint4", group_size=128),
-                ignore=["lm_head"],
-            ))
-            params, _ = oqt.quantize(model, params, oqt.QConfig(
-                weights=oqt.QWeightArgs(dtype="int8", group_size=-1, symmetric=True),
-                ignore=[r"^layers\."],
-            ))
-        params = fuse_gemma3_projections(params)
-    return model, params
+    head = "w4" if model_name == "4b" else "int8"
+    return _build(cfg, quantized=quantized, cpu_device=cpu, head=head)
 
 
 def prefill_tput(model, params, batch=32, prompt_len=512, max_seq=1024,

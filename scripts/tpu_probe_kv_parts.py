@@ -106,8 +106,11 @@ def main():
                 ck[layer].at[bidx, hidx, pos].set(upd, mode="drop"))
             cv = cv.at[layer].set(
                 cv[layer].at[bidx, hidx, pos].set(upd, mode="drop"))
-        return acc + jnp.sum(ck[0, 0, 0, 0].astype(jnp.float32)) * 1e-30, (
-            ck, cv, nk)
+        # Read a position that was actually WRITTEN this step: a fixed unwritten
+        # index would leave the scatters formally dead (a compiler with scatter
+        # range analysis could DCE the whole body — the loop-invariant trap).
+        live = jnp.sum(ck[0, 0, 0, 128 + i % 64].astype(jnp.float32))
+        return acc + live * 1e-30, (ck, cv, nk)
 
     ops_w = [jax.device_put(jnp.asarray(a), dev) for a in (kb, vb, newk)]
     results["b_write"] = bench_steps(step_write, ops_w)
@@ -123,8 +126,8 @@ def main():
         for layer in range(NL):
             ck = ck.at[layer, bidx, hidx, pos].set(upd, mode="drop")
             cv = cv.at[layer, bidx, hidx, pos].set(upd, mode="drop")
-        return acc + jnp.sum(ck[0, 0, 0, 0].astype(jnp.float32)) * 1e-30, (
-            ck, cv, nk)
+        live = jnp.sum(ck[0, 0, 0, 128 + i % 64].astype(jnp.float32))
+        return acc + live * 1e-30, (ck, cv, nk)
 
     results["b_write5d"] = bench_steps(step_write5d, ops_w)
     print(json.dumps({"arm": "b_write5d", "us": round(results["b_write5d"], 1)}),

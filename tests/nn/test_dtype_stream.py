@@ -38,6 +38,17 @@ def test_linear_preserves_input_dtype(rng, xdtype):
 
 
 @pytest.mark.parametrize("xdtype", [jnp.float32, jnp.bfloat16])
+def test_prescaled_linear_preserves_input_dtype(rng, xdtype):
+    """AWQ/SmoothQuant sites store an f32 ``prescale``; the multiply must not
+    leak f32 into a bf16 stream (the dtype is captured before it)."""
+    lin = nn.Linear(16, 8, use_bias=True)
+    params = lin.init(jax.random.key(0))
+    params["prescale"] = jnp.asarray(rng.uniform(0.5, 2.0, 16), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, 16)), xdtype)
+    assert lin(params, x).dtype == xdtype
+
+
+@pytest.mark.parametrize("xdtype", [jnp.float32, jnp.bfloat16])
 def test_quantized_linear_preserves_input_dtype(rng, xdtype):
     lin = nn.Linear(32, 16, use_bias=False)
     lin.finalize()

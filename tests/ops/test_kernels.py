@@ -133,7 +133,10 @@ def test_w4_predicate_prefill_m_routes_to_jnp(monkeypatch, rng):
 
     qt = _qt(rng, 256, 128, QuantType.QUInt4, QuantizationStrategy.GROUP, 64)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    x_decode = jnp.zeros((32, 256), jnp.bfloat16)
-    x_prefill = jnp.zeros((32, 16, 256), jnp.bfloat16)
-    assert _w4_predicate(x_decode, qt, None) is True
-    assert _w4_predicate(x_prefill, qt, None) is False
+    assert _w4_predicate(jnp.zeros((32, 256), jnp.bfloat16), qt, None) is True
+    assert _w4_predicate(jnp.zeros((32, 16, 256), jnp.bfloat16), qt, None) is False
+    # Decode steps — (B, 1, K) — stay on the fused kernel at ANY batch: the
+    # dense path would re-materialize dequantized weights every scan step.
+    assert _w4_predicate(jnp.zeros((256, 1, 256), jnp.bfloat16), qt, None) is True
+    # One-shot 2D calls at compute-bound M route dense.
+    assert _w4_predicate(jnp.zeros((256, 256), jnp.bfloat16), qt, None) is False
