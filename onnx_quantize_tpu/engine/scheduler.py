@@ -38,10 +38,25 @@ class Request:
 
 
 class ContinuousBatchingScheduler:
-    """Admits requests into engine slots and steps the decode batch."""
+    """Admits requests into engine slots and steps the decode batch.
 
-    def __init__(self, engine: InferenceEngine, rng: jax.Array | None = None):
+    ``chunk > 1`` enables *chunked* continuous batching: between admission
+    checks the scheduler decodes ``chunk`` steps inside ONE compiled program
+    (``engine.decode_multi``), amortizing host dispatch — on runtimes with
+    high launch latency this is the difference between ~hundreds and ~tens of
+    thousands of tokens/s (BENCH.md). The trade: a sequence finishing
+    mid-chunk holds its slot until the chunk boundary (at most ``chunk - 1``
+    wasted steps; its KV stops advancing at EOS via the engine's done-mask).
+    Chunked mode uses one sampling configuration and EOS id for the whole
+    batch (taken from the first admitted request; per-request sampling needs
+    ``chunk=1``).
+    """
+
+    def __init__(self, engine: InferenceEngine, rng: jax.Array | None = None,
+                 chunk: int = 1):
+        assert chunk >= 1
         self.engine = engine
+        self.chunk = chunk
         self.cache = engine.new_cache()
         self.queue: deque[Request] = deque()
         self.slots: list[Request | None] = [None] * engine.max_batch
@@ -61,30 +76,101 @@ class ContinuousBatchingScheduler:
         return bool(self.queue) or any(s is not None for s in self.slots)
 
     def _admit(self) -> None:
-        """Move queued requests into free slots (slot-local prefill)."""
+        """Move queued requests into free slots with ONE masked prefill call.
+
+        All admissible requests share a single ``engine.prefill`` (the slot
+        mask keeps in-flight slots intact), and the padded width is bucketed
+        to a multiple of 64 so arbitrary prompt lengths reuse a handful of
+        compiled programs instead of one per distinct length — on runtimes
+        with minutes-long compiles, per-length compilation would dwarf the
+        serving time."""
+        admitted: list[tuple[int, Request]] = []
         for slot_id, slot in enumerate(self.slots):
             if slot is not None or not self.queue:
                 continue
             request = self.queue.popleft()
             self.slots[slot_id] = request
-            self.cache, logits = self._prefill_slot(slot_id, request.prompt)
-            self.rng, step_rng = jax.random.split(self.rng)
-            token = int(np.asarray(sample(logits, step_rng, request.sampling))[slot_id])
-            request.output.append(token)
-            self.next_tokens[slot_id] = token
+            admitted.append((slot_id, request))
             logger.debug("admitted request %d into slot %d", request.request_id, slot_id)
+        if not admitted:
+            return
 
-    def _prefill_slot(self, slot_id: int, prompt: list[int]):
-        """Prefill one slot; the engine's slot mask keeps the others intact."""
         B = self.engine.max_batch
-        lengths = np.asarray(self.cache["lengths"])
-        ids = np.zeros((B, max(len(prompt), 1)), np.int32)
-        ids[slot_id, : len(prompt)] = prompt
-        new_lengths = lengths.copy()
-        new_lengths[slot_id] = max(len(prompt), 1)
+        longest = max(max(len(r.prompt), 1) for _, r in admitted)
+        T_pad = min(-(-longest // 64) * 64, self.engine.max_seq)
+        ids = np.zeros((B, max(T_pad, longest)), np.int32)
+        new_lengths = np.asarray(self.cache["lengths"]).copy()
         mask = np.zeros((B,), bool)
-        mask[slot_id] = True
-        return self.engine.prefill(self.cache, ids, new_lengths, slot_mask=mask)
+        for slot_id, request in admitted:
+            ids[slot_id, : len(request.prompt)] = request.prompt
+            new_lengths[slot_id] = max(len(request.prompt), 1)
+            mask[slot_id] = True
+        self.cache, logits = self.engine.prefill(
+            self.cache, ids, new_lengths, slot_mask=mask
+        )
+        tokens = self._sample_rows(logits, admitted)
+        for slot_id, request in admitted:
+            request.output.append(tokens[slot_id])
+            self.next_tokens[slot_id] = tokens[slot_id]
+
+    def _sample_rows(self, logits, pairs) -> dict[int, int]:
+        """Sample next tokens for the given (slot, request) pairs with ONE
+        device call per distinct SamplingParams.
+
+        Per-slot ``sample`` calls are correctness-equivalent but each is a
+        separate dispatch+sync — measured ~1 s per 32-slot round through the
+        tunnel, which capped serving at ~26 generated tok/s (round 2)."""
+        by_params: dict[SamplingParams, list[int]] = {}
+        for slot_id, request in pairs:
+            by_params.setdefault(request.sampling, []).append(slot_id)
+        out: dict[int, int] = {}
+        for params, slot_ids in by_params.items():
+            self.rng, step_rng = jax.random.split(self.rng)
+            toks = np.asarray(sample(logits, step_rng, params))
+            for slot_id in slot_ids:
+                out[slot_id] = int(toks[slot_id])
+        return out
+
+    def _finish(self, slot_id: int, request: Request) -> None:
+        request.done = True
+        self.completed.append(request)
+        self.slots[slot_id] = None
+        logger.debug("request %d finished", request.request_id)
+
+    def _step_chunked(self, active_mask: np.ndarray) -> list[Request]:
+        """Decode ``chunk`` steps in one program, then settle slot states."""
+        first = next(s for s in self.slots if s is not None)
+        lengths_before = np.asarray(self.cache["lengths"]).copy()
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.cache, toks = self.engine.decode_multi(
+            self.cache, self.next_tokens, steps=self.chunk, active=active_mask,
+            sampling=first.sampling, rng=step_rng,
+            eos_token_id=first.eos_token_id,
+        )
+        toks = np.asarray(toks)  # (B, chunk)
+        for slot_id, request in enumerate(self.slots):
+            if request is None:
+                continue
+            # Steps that actually advanced: capacity caps them (the engine
+            # clamps at max_seq and re-emits from frozen state past it).
+            room = int(self.engine.max_seq - lengths_before[slot_id])
+            budget = request.max_new_tokens - len(request.output)
+            valid = min(self.chunk, max(room, 0), budget)
+            hit_capacity = room <= valid
+            hit_eos = False
+            for t in toks[slot_id, :valid]:
+                request.output.append(int(t))
+                if request.eos_token_id is not None and t == request.eos_token_id:
+                    hit_eos = True
+                    break
+            self.next_tokens[slot_id] = request.output[-1]
+            if (
+                hit_eos
+                or hit_capacity
+                or len(request.output) >= request.max_new_tokens
+            ):
+                self._finish(slot_id, request)
+        return self._drain_completed()
 
     def step(self) -> list[Request]:
         """One scheduler iteration: admit, decode, collect finished requests."""
@@ -93,28 +179,24 @@ class ContinuousBatchingScheduler:
         if not active_mask.any():
             return self._drain_completed()
 
+        if self.chunk > 1:
+            return self._step_chunked(active_mask)
+
         self.cache, logits = self.engine.decode(
             self.cache, self.next_tokens, active=active_mask
         )
-        self.rng, step_rng = jax.random.split(self.rng)
+        occupied = [(i, r) for i, r in enumerate(self.slots) if r is not None]
+        tokens = self._sample_rows(logits, occupied)
+        lengths = np.asarray(self.cache["lengths"])  # ONE fetch per step
 
-        for slot_id, request in enumerate(self.slots):
-            if request is None:
-                continue
-            token = int(
-                np.asarray(sample(logits, step_rng, request.sampling))[slot_id]
-            )
+        for slot_id, request in occupied:
+            token = tokens[slot_id]
             request.output.append(token)
             self.next_tokens[slot_id] = token
             hit_eos = request.eos_token_id is not None and token == request.eos_token_id
-            out_of_cache = (
-                int(np.asarray(self.cache["lengths"])[slot_id]) >= self.engine.max_seq
-            )
+            out_of_cache = int(lengths[slot_id]) >= self.engine.max_seq
             if hit_eos or out_of_cache or len(request.output) >= request.max_new_tokens:
-                request.done = True
-                self.completed.append(request)
-                self.slots[slot_id] = None
-                logger.debug("request %d finished", request.request_id)
+                self._finish(slot_id, request)
 
         return self._drain_completed()
 

@@ -1,0 +1,99 @@
+"""Serving-realism benchmark: continuous batching under random request load.
+
+Unlike bench.py's fixed-batch decode, this measures the scheduler end to end:
+N requests with random prompt/output lengths stream through B slots with
+batched bucketed admission and chunked decode. ``chunk=1`` is the classic
+per-step loop (host dispatch per token); ``chunk=16`` amortizes dispatch
+through the compiled decode scan — the serving-mode analogue of the
+decode_multi headline.
+
+Run alone on the chip:
+  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/tpu_bench_serving.py
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+
+import numpy as np
+
+
+def build():
+    import dataclasses
+    import sys
+
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _build
+
+    from onnx_quantize_tpu.models.gemma3 import GEMMA3_270M
+
+    cfg = dataclasses.replace(GEMMA3_270M, dtype="bfloat16")
+    return _build(cfg, quantized=True, cpu_device=jax.devices("cpu")[0])
+
+
+def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
+          seed=0):
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from onnx_quantize_tpu.engine import ContinuousBatchingScheduler, InferenceEngine
+
+    device = jax.devices()[0]
+    params = jtu.tree_map(lambda a: jax.device_put(a, device), params)
+    engine = InferenceEngine(model, params, max_batch=max_batch,
+                             max_seq=max_seq, kv_quant=True,
+                             dtype=jnp.bfloat16)
+    rng = np.random.default_rng(seed)
+    prompts = [
+        (list(rng.integers(1, model.cfg.vocab_size,
+                           size=int(rng.integers(32, 129)))),
+         int(rng.integers(48, 97)))
+        for _ in range(n_requests)
+    ]
+
+    # Warm the compiled programs on a throwaway workload (compiles measured
+    # separately from serving throughput on this minutes-per-compile runtime).
+    warm = ContinuousBatchingScheduler(engine, chunk=chunk)
+    for p, m in prompts[:max_batch]:
+        warm.submit(p, max_new_tokens=min(m, 8))
+    t0 = time.time()
+    warm.run()
+    warmup_s = time.time() - t0
+
+    sched = ContinuousBatchingScheduler(engine, chunk=chunk)
+    reqs = [sched.submit(p, max_new_tokens=m) for p, m in prompts]
+    t0 = time.time()
+    finished = sched.run()
+    wall = time.time() - t0
+    assert len(finished) == n_requests and all(r.done for r in reqs)
+
+    generated = sum(len(r.output) for r in reqs)
+    ingested = sum(len(p) for p, _ in prompts)
+    return {
+        "chunk": chunk,
+        "requests": n_requests,
+        "generated_tokens": generated,
+        "ingested_tokens": ingested,
+        "wall_s": round(wall, 2),
+        "generated_tok_s": round(generated / wall, 1),
+        "total_tok_s": round((generated + ingested) / wall, 1),
+        "warmup_s": round(warmup_s, 1),
+    }
+
+
+def main():
+    model, params = build()
+    rows = []
+    for chunk in (16, 1):
+        rows.append(serve(model, params, chunk))
+        print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"probe": "serving_270m", "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

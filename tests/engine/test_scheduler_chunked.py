@@ -1,0 +1,82 @@
+"""Chunked continuous batching == per-step continuous batching (greedy).
+
+``chunk > 1`` decodes between admission checks inside one compiled program
+(the dispatch-amortizing serving mode). The outputs must be identical to the
+per-step scheduler for every request, including requests that queue behind a
+full batch and are admitted into reused slots, hit EOS mid-chunk, or run into
+max_new_tokens / cache capacity.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+import onnx_quantize_tpu as oqt
+from onnx_quantize_tpu.engine import ContinuousBatchingScheduler, InferenceEngine
+from onnx_quantize_tpu.models.gemma3 import Gemma3, Gemma3Config
+
+
+@pytest.fixture(scope="module")
+def quantized_model():
+    cfg = Gemma3Config.tiny(
+        hidden_size=64, intermediate_size=128, num_layers=2, num_heads=2,
+        num_kv_heads=1, head_dim=32, vocab_size=128,
+    )
+    model = Gemma3(cfg)
+    params = model.init(jax.random.key(0))
+    qparams, _ = oqt.quantize(model, params, oqt.QConfig(
+        weights=oqt.QWeightArgs(dtype="uint4", group_size=16)))
+    return model, qparams
+
+
+def _run(model, params, chunk, prompts, eos, max_seq=48):
+    engine = InferenceEngine(model, params, max_batch=2, max_seq=max_seq,
+                             kv_quant=True)
+    sched = ContinuousBatchingScheduler(engine, chunk=chunk)
+    reqs = [
+        sched.submit(p, max_new_tokens=m, eos_token_id=eos)
+        for p, m in prompts
+    ]
+    sched.run()
+    assert all(r.done for r in reqs)
+    return [r.output for r in reqs]
+
+
+@pytest.mark.parametrize("chunk", [4, 8])
+def test_chunked_matches_per_step(quantized_model, chunk):
+    model, qparams = quantized_model
+    rng = np.random.default_rng(5)
+    # 5 requests through 2 slots: forces queueing + slot reuse. Varied
+    # max_new so finishes land mid-chunk.
+    prompts = [
+        (list(rng.integers(1, 128, size=int(rng.integers(3, 10)))),
+         int(rng.integers(3, 14)))
+        for _ in range(5)
+    ]
+    # The tiny random-init model repeats one token greedily; use an id it
+    # will not emit as EOS so max_new/capacity paths are exercised, then a
+    # separate case pins the EOS path.
+    base = _run(model, qparams, 1, prompts, eos=None)
+    chunked = _run(model, qparams, chunk, prompts, eos=None)
+    assert chunked == base
+
+
+def test_chunked_eos_freezes(quantized_model):
+    model, qparams = quantized_model
+    # Find the token the model actually emits greedily, make it EOS: the
+    # request must finish at its first decode step in both modes.
+    probe = _run(model, qparams, 1, [([5, 9, 17], 4)], eos=None)[0]
+    eos = probe[1]
+    base = _run(model, qparams, 1, [([5, 9, 17], 8)], eos=eos)
+    chunked = _run(model, qparams, 8, [([5, 9, 17], 8)], eos=eos)
+    assert chunked == base
+    assert chunked[0][-1] == eos and len(chunked[0]) <= 3
+
+
+def test_chunked_capacity_finish(quantized_model):
+    model, qparams = quantized_model
+    # max_seq small enough that the request hits cache capacity mid-chunk.
+    base = _run(model, qparams, 1, [([1, 2, 3, 4], 64)], eos=None, max_seq=12)
+    chunked = _run(model, qparams, 8, [([1, 2, 3, 4], 64)], eos=None, max_seq=12)
+    assert chunked == base
