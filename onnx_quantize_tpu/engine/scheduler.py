@@ -61,6 +61,11 @@ class ContinuousBatchingScheduler:
         self.queue: deque[Request] = deque()
         self.slots: list[Request | None] = [None] * engine.max_batch
         self.next_tokens = np.zeros((engine.max_batch,), np.int32)
+        # Host mirror of cache["lengths"]: the scheduler knows every length
+        # transition (admit = prompt length; each live decode step +1, capped
+        # at max_seq; EOS freezes), so serving never pays a device fetch for
+        # lengths (~32 ms/round through the tunnel).
+        self.lengths = np.zeros((engine.max_batch,), np.int32)
         self.logits = None
         self.rng = rng if rng is not None else jax.random.key(0)
         self._id_counter = itertools.count()
@@ -99,12 +104,13 @@ class ContinuousBatchingScheduler:
         longest = max(max(len(r.prompt), 1) for _, r in admitted)
         T_pad = min(-(-longest // 64) * 64, self.engine.max_seq)
         ids = np.zeros((B, max(T_pad, longest)), np.int32)
-        new_lengths = np.asarray(self.cache["lengths"]).copy()
+        new_lengths = self.lengths.copy()
         mask = np.zeros((B,), bool)
         for slot_id, request in admitted:
             ids[slot_id, : len(request.prompt)] = request.prompt
             new_lengths[slot_id] = max(len(request.prompt), 1)
             mask[slot_id] = True
+        self.lengths = new_lengths.copy()
         self.cache, logits = self.engine.prefill(
             self.cache, ids, new_lengths, slot_mask=mask
         )
@@ -140,7 +146,7 @@ class ContinuousBatchingScheduler:
     def _step_chunked(self, active_mask: np.ndarray) -> list[Request]:
         """Decode ``chunk`` steps in one program, then settle slot states."""
         first = next(s for s in self.slots if s is not None)
-        lengths_before = np.asarray(self.cache["lengths"]).copy()
+        lengths_before = self.lengths.copy()
         self.rng, step_rng = jax.random.split(self.rng)
         self.cache, toks = self.engine.decode_multi(
             self.cache, self.next_tokens, steps=self.chunk, active=active_mask,
@@ -148,6 +154,9 @@ class ContinuousBatchingScheduler:
             eos_token_id=first.eos_token_id,
         )
         toks = np.asarray(toks)  # (B, chunk)
+        out_len_before = {
+            i: len(r.output) for i, r in enumerate(self.slots) if r is not None
+        }
         for slot_id, request in enumerate(self.slots):
             if request is None:
                 continue
@@ -164,6 +173,18 @@ class ContinuousBatchingScheduler:
                     hit_eos = True
                     break
             self.next_tokens[slot_id] = request.output[-1]
+            # Mirror the device: lengths advance one per live step. The
+            # engine freezes at EOS (done-mask) and clamps at capacity; a
+            # non-EOS sequence keeps advancing for the whole chunk even past
+            # max_new (its surplus steps still wrote KV), so the mirror
+            # counts chunk steps unless EOS cut it short.
+            if hit_eos:
+                advanced = len(request.output) - out_len_before[slot_id]
+            else:
+                advanced = self.chunk
+            self.lengths[slot_id] = min(
+                int(lengths_before[slot_id]) + advanced, self.engine.max_seq
+            )
             if (
                 hit_eos
                 or hit_capacity
@@ -187,14 +208,16 @@ class ContinuousBatchingScheduler:
         )
         occupied = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         tokens = self._sample_rows(logits, occupied)
-        lengths = np.asarray(self.cache["lengths"])  # ONE fetch per step
 
         for slot_id, request in occupied:
             token = tokens[slot_id]
             request.output.append(token)
             self.next_tokens[slot_id] = token
+            self.lengths[slot_id] = min(
+                int(self.lengths[slot_id]) + 1, self.engine.max_seq
+            )
             hit_eos = request.eos_token_id is not None and token == request.eos_token_id
-            out_of_cache = int(lengths[slot_id]) >= self.engine.max_seq
+            out_of_cache = int(self.lengths[slot_id]) >= self.engine.max_seq
             if hit_eos or out_of_cache or len(request.output) >= request.max_new_tokens:
                 self._finish(slot_id, request)
 

@@ -89,7 +89,7 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
 def main():
     model, params = build()
     rows = []
-    for chunk in (16, 1):
+    for chunk in (32, 16, 1):
         rows.append(serve(model, params, chunk))
         print(json.dumps(rows[-1]), flush=True)
     print(json.dumps({"probe": "serving_270m", "rows": rows}))

@@ -80,3 +80,30 @@ def test_chunked_capacity_finish(quantized_model):
     base = _run(model, qparams, 1, [([1, 2, 3, 4], 64)], eos=None, max_seq=12)
     chunked = _run(model, qparams, 8, [([1, 2, 3, 4], 64)], eos=None, max_seq=12)
     assert chunked == base
+
+
+@pytest.mark.parametrize("chunk", [1, 4])
+def test_length_mirror_tracks_device(quantized_model, chunk):
+    """The host-side lengths mirror must equal the device cache lengths for
+    every occupied slot after every scheduler step (it replaces a per-round
+    device fetch, so drift would silently corrupt capacity handling)."""
+    model, qparams = quantized_model
+    engine = InferenceEngine(model, qparams, max_batch=2, max_seq=24,
+                             kv_quant=True)
+    sched = ContinuousBatchingScheduler(engine, chunk=chunk)
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        sched.submit(list(rng.integers(1, 128, size=int(rng.integers(2, 7)))),
+                     max_new_tokens=int(rng.integers(2, 9)))
+    steps = 0
+    while sched.has_work and steps < 50:
+        sched.step()
+        steps += 1
+        device = np.asarray(sched.cache["lengths"])
+        for slot_id, req in enumerate(sched.slots):
+            if req is not None:
+                assert sched.lengths[slot_id] == device[slot_id], (
+                    f"mirror drift at slot {slot_id}: "
+                    f"{sched.lengths[slot_id]} vs {device[slot_id]}"
+                )
+    assert not sched.has_work
