@@ -74,7 +74,10 @@ def bench_fn(fn, x, *operands, iters: int = 200) -> float:
             times.append(time.time() - t)
         return float(np.median(times))
 
-    lo, hi = max(iters // 4, 10), iters
+    # lo must stay strictly below hi even for tiny iters (iters < 40 used to
+    # produce lo=10 > hi and a NEGATIVE slope divisor).
+    lo = max(iters // 4, 10)
+    hi = max(iters, 2 * lo)
     est = max(timed(hi) - timed(lo), 1e-9) / (hi - lo)
     # The tunnel's fixed per-call overhead jitters by several ms run-to-run,
     # so the slope delta must dwarf it: rescale the trip counts so
