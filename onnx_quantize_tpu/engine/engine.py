@@ -183,7 +183,7 @@ class InferenceEngine:
                     self._prefill_impl, mesh=mesh,
                     in_specs=(self._param_specs, self._cache_specs,
                               P(d, None), P(d), P(d)),
-                    out_specs=(self._cache_specs, P(d, None)),
+                    out_specs=(self._cache_specs, P(d, None), P(d)),
                     check_vma=False,
                 ),
                 donate_argnums=(1,),
@@ -313,7 +313,10 @@ class InferenceEngine:
             shape = [1, B] + [1] * (new[key].ndim - 2)
             merged[key] = jnp.where(slot_mask.reshape(shape), new[key], cache[key])
         merged["lengths"] = jnp.where(slot_mask, lengths, cache["lengths"])
-        return merged, last
+        # Greedy first tokens computed in-program: the serving scheduler uses
+        # them directly for temperature-0 admissions, saving one device
+        # round-trip per admission round (~32 ms on the tunneled runtime).
+        return merged, last, jnp.argmax(last, axis=-1).astype(jnp.int32)
 
     def _decode_impl(self, params, cache, tokens, active):
         """tokens: (B,) next input token per slot; active: (B,) bool."""
@@ -381,17 +384,22 @@ class InferenceEngine:
     # ── public API ───────────────────────────────────────────────────────
 
     def prefill(self, cache, ids: np.ndarray, lengths: np.ndarray,
-                slot_mask: np.ndarray | None = None):
+                slot_mask: np.ndarray | None = None, with_tokens: bool = False):
         """Prefill; returns (cache, last_token_logits (B, V)).
 
         ``slot_mask`` selects which batch slots are written (default: all).
+        ``with_tokens=True`` also returns the greedy first tokens (B,)
+        computed inside the compiled program (no extra device round-trip).
         """
         if slot_mask is None:
             slot_mask = np.ones((self.max_batch,), bool)
-        return self._prefill_jit(
+        cache, logits, tokens = self._prefill_jit(
             self.params, cache, jnp.asarray(ids, jnp.int32),
             jnp.asarray(lengths, jnp.int32), jnp.asarray(slot_mask),
         )
+        if with_tokens:
+            return cache, logits, tokens
+        return cache, logits
 
     def decode(self, cache, tokens: np.ndarray, active: np.ndarray | None = None):
         if active is None:
