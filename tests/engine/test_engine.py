@@ -141,3 +141,23 @@ class TestScheduler:
         r2 = sched.submit([9, 8], max_new_tokens=4)
         sched.run()
         assert r1.output == solo
+
+
+def test_prefill_with_tokens_matches_argmax(rng):
+    """prefill(with_tokens=True) returns the greedy first tokens computed
+    in-program; they must equal argmax of the returned logits."""
+    import onnx_quantize_tpu as oqt
+    from onnx_quantize_tpu.models.gemma3 import Gemma3, Gemma3Config
+
+    cfg = Gemma3Config.tiny()
+    model = Gemma3(cfg)
+    params = model.init(jax.random.key(0))
+    qparams, _ = oqt.quantize(model, params, oqt.QConfig(
+        weights=oqt.QWeightArgs(dtype="uint4", group_size=16)))
+    engine = InferenceEngine(model, qparams, max_batch=2, max_seq=32, kv_quant=True)
+    ids = rng.integers(1, cfg.vocab_size, size=(2, 8)).astype(np.int32)
+    lengths = np.full((2,), 8, np.int32)
+    cache, logits, tokens = engine.prefill(
+        engine.new_cache(), ids, lengths, with_tokens=True)
+    np.testing.assert_array_equal(
+        np.asarray(tokens), np.argmax(np.asarray(logits), axis=-1))
