@@ -107,3 +107,26 @@ def test_length_mirror_tracks_device(quantized_model, chunk):
                     f"{sched.lengths[slot_id]} vs {device[slot_id]}"
                 )
     assert not sched.has_work
+
+
+def test_chunked_sampled_decode(quantized_model):
+    """Chunked mode with a uniform temperature: tokens sample inside the
+    decode scan (per-step rng splits); outputs are valid ids and requests
+    respect max_new_tokens."""
+    from onnx_quantize_tpu.engine.sampling import SamplingParams
+
+    model, qparams = quantized_model
+    engine = InferenceEngine(model, qparams, max_batch=2, max_seq=48,
+                             kv_quant=True)
+    sched = ContinuousBatchingScheduler(engine, chunk=4)
+    sp = SamplingParams(temperature=0.8, top_k=16)
+    rng = np.random.default_rng(9)
+    reqs = [
+        sched.submit(list(rng.integers(1, 128, size=5)),
+                     max_new_tokens=int(rng.integers(3, 11)), sampling=sp)
+        for _ in range(3)
+    ]
+    sched.run()
+    for r in reqs:
+        assert r.done and 1 <= len(r.output) <= r.max_new_tokens
+        assert all(0 <= t < 128 for t in r.output)
