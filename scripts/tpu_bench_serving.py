@@ -88,8 +88,11 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
 
 def main():
     model, params = build()
+    chunks = tuple(
+        int(c) for c in os.environ.get("OQT_SERVE_CHUNKS", "32,16,1").split(",")
+    )
     rows = []
-    for chunk in (32, 16, 1):
+    for chunk in chunks:
         rows.append(serve(model, params, chunk))
         print(json.dumps(rows[-1]), flush=True)
     print(json.dumps({"probe": "serving_270m", "rows": rows}))
