@@ -1,10 +1,27 @@
 """Continuous batching scheduler.
 
 Keeps the decode batch full: finished sequences release their slot, queued
-requests are admitted into free slots with an individual prefill into that
-slot, and every scheduler step decodes all active slots in one jit'd call —
+requests are admitted into free slots, and decode runs over all active slots —
 the standard continuous-batching loop (SURVEY.md §2B, BASELINE.json config 5),
-host-orchestrated over the engine's two compiled programs.
+host-orchestrated over the engine's compiled programs.
+
+Two modes:
+
+* ``chunk == 1`` — the classic per-step loop (reference-shaped): one masked
+  prefill call per admission round, one decode call + host-side sampling per
+  token. Simple, fully general, and the equivalence oracle for the fast path.
+* ``chunk > 1`` — the serving fast path: each round is ONE device program
+  (``engine.serve_chunk``) folding admission prefill, per-slot first-token
+  sampling, and ``chunk`` decode steps, returning one packed int32 blob. On
+  this runtime a device round-trip costs ~32 ms, so collapsing the old
+  prefill + decode + sample syncs into one is the difference between ~500 and
+  several thousand generated tok/s under load (BENCH.md serving table).
+  Sampling parameters, EOS ids, and token budgets are per-slot arrays — mixed
+  batches (heterogeneous temperature/top-k/top-p/EOS) run in the same
+  program. A sequence finishing mid-chunk holds its slot until the chunk
+  boundary (at most ``chunk - 1`` wasted steps), but frozen slots stop
+  writing KV and stop advancing lengths the moment they hit EOS, budget, or
+  capacity.
 """
 
 from __future__ import annotations
@@ -18,7 +35,11 @@ import numpy as np
 
 from onnx_quantize_tpu._logging import get_logger
 from onnx_quantize_tpu.engine.engine import InferenceEngine
-from onnx_quantize_tpu.engine.sampling import SamplingParams, sample
+from onnx_quantize_tpu.engine.sampling import (
+    SamplingParams,
+    batch_sampling_arrays,
+    sample,
+)
 
 logger = get_logger(__name__)
 
@@ -38,19 +59,7 @@ class Request:
 
 
 class ContinuousBatchingScheduler:
-    """Admits requests into engine slots and steps the decode batch.
-
-    ``chunk > 1`` enables *chunked* continuous batching: between admission
-    checks the scheduler decodes ``chunk`` steps inside ONE compiled program
-    (``engine.decode_multi``), amortizing host dispatch — on runtimes with
-    high launch latency this is the difference between ~hundreds and ~tens of
-    thousands of tokens/s (BENCH.md). The trade: a sequence finishing
-    mid-chunk holds its slot until the chunk boundary (at most ``chunk - 1``
-    wasted steps; its KV stops advancing at EOS via the engine's done-mask).
-    Chunked mode uses one sampling configuration and EOS id for the whole
-    batch (taken from the first admitted request; per-request sampling needs
-    ``chunk=1``).
-    """
+    """Admits requests into engine slots and steps the decode batch."""
 
     def __init__(self, engine: InferenceEngine, rng: jax.Array | None = None,
                  chunk: int = 1):
@@ -61,18 +70,28 @@ class ContinuousBatchingScheduler:
         self.queue: deque[Request] = deque()
         self.slots: list[Request | None] = [None] * engine.max_batch
         self.next_tokens = np.zeros((engine.max_batch,), np.int32)
-        # Host mirror of cache["lengths"]: the scheduler knows every length
-        # transition (admit = prompt length; each live decode step +1, capped
-        # at max_seq; EOS freezes), so serving never pays a device fetch for
-        # lengths (~32 ms/round through the tunnel).
+        # Host mirror of cache["lengths"]. In serve mode it rides along in the
+        # round's result blob (free); in per-step mode the scheduler tracks
+        # every transition so serving never pays a device fetch for lengths.
         self.lengths = np.zeros((engine.max_batch,), np.int32)
-        self.logits = None
         self.rng = rng if rng is not None else jax.random.key(0)
         self._id_counter = itertools.count()
         self.completed: list[Request] = []
+        # Sticky sampler-variant flags: once a round needs temperature/top-k/
+        # top-p, keep the superset variant (semantically identical — disabled
+        # rows are no-ops) so request churn doesn't flip-flop recompiles.
+        self._variant: tuple[bool, bool, bool] = (False, False, False)
 
     def submit(self, prompt: list[int], **kwargs) -> Request:
         request = Request(request_id=next(self._id_counter), prompt=prompt, **kwargs)
+        if len(prompt) > self.engine.max_seq:
+            raise ValueError(
+                f"prompt length {len(prompt)} exceeds the engine's "
+                f"max_seq={self.engine.max_seq}; KV writes past capacity would "
+                "be silently dropped — truncate the prompt or raise max_seq"
+            )
+        if request.max_new_tokens < 1:
+            raise ValueError("max_new_tokens must be >= 1")
         self.queue.append(request)
         return request
 
@@ -80,15 +99,10 @@ class ContinuousBatchingScheduler:
     def has_work(self) -> bool:
         return bool(self.queue) or any(s is not None for s in self.slots)
 
-    def _admit(self) -> None:
-        """Move queued requests into free slots with ONE masked prefill call.
+    # ── admission ────────────────────────────────────────────────────────
 
-        All admissible requests share a single ``engine.prefill`` (the slot
-        mask keeps in-flight slots intact), and the padded width is bucketed
-        to a multiple of 64 so arbitrary prompt lengths reuse a handful of
-        compiled programs instead of one per distinct length — on runtimes
-        with minutes-long compiles, per-length compilation would dwarf the
-        serving time."""
+    def _assign_slots(self) -> list[tuple[int, Request]]:
+        """Host-only: move queued requests into free slots."""
         admitted: list[tuple[int, Request]] = []
         for slot_id, slot in enumerate(self.slots):
             if slot is not None or not self.queue:
@@ -97,19 +111,33 @@ class ContinuousBatchingScheduler:
             self.slots[slot_id] = request
             admitted.append((slot_id, request))
             logger.debug("admitted request %d into slot %d", request.request_id, slot_id)
-        if not admitted:
-            return
+        return admitted
 
+    def _build_admit(self, admitted):
+        """Padded (ids, lengths, mask) for a masked batch prefill.
+
+        The padded width is bucketed to a multiple of 64 so arbitrary prompt
+        lengths reuse a handful of compiled programs instead of one per
+        distinct length — on runtimes with minutes-long compiles, per-length
+        compilation would dwarf the serving time."""
         B = self.engine.max_batch
         longest = max(max(len(r.prompt), 1) for _, r in admitted)
         T_pad = min(-(-longest // 64) * 64, self.engine.max_seq)
         ids = np.zeros((B, max(T_pad, longest)), np.int32)
-        new_lengths = self.lengths.copy()
+        lengths = self.lengths.copy()
         mask = np.zeros((B,), bool)
         for slot_id, request in admitted:
             ids[slot_id, : len(request.prompt)] = request.prompt
-            new_lengths[slot_id] = max(len(request.prompt), 1)
+            lengths[slot_id] = max(len(request.prompt), 1)
             mask[slot_id] = True
+        return ids, lengths, mask
+
+    def _admit(self) -> None:
+        """Per-step mode admission: ONE masked prefill call + first tokens."""
+        admitted = self._assign_slots()
+        if not admitted:
+            return
+        ids, new_lengths, mask = self._build_admit(admitted)
         self.lengths = new_lengths.copy()
         self.cache, logits, greedy = self.engine.prefill(
             self.cache, ids, new_lengths, slot_mask=mask, with_tokens=True
@@ -124,14 +152,23 @@ class ContinuousBatchingScheduler:
         for slot_id, request in admitted:
             request.output.append(tokens[slot_id])
             self.next_tokens[slot_id] = tokens[slot_id]
+            hit_eos = (
+                request.eos_token_id is not None
+                and tokens[slot_id] == request.eos_token_id
+            )
+            # A prompt that already fills the cache leaves no room to decode:
+            # the prefill's token is the one and only emission.
+            if (
+                hit_eos
+                or self.lengths[slot_id] >= self.engine.max_seq
+                or len(request.output) >= request.max_new_tokens
+            ):
+                self._finish(slot_id, request)
 
     def _sample_rows(self, logits, pairs) -> dict[int, int]:
         """Sample next tokens for the given (slot, request) pairs with ONE
-        device call per distinct SamplingParams.
-
-        Per-slot ``sample`` calls are correctness-equivalent but each is a
-        separate dispatch+sync — measured ~1 s per 32-slot round through the
-        tunnel, which capped serving at ~26 generated tok/s (round 2)."""
+        device call per distinct SamplingParams (per-step mode only; serve
+        mode samples per-slot inside the device program)."""
         by_params: dict[SamplingParams, list[int]] = {}
         for slot_id, request in pairs:
             by_params.setdefault(request.sampling, []).append(slot_id)
@@ -149,65 +186,72 @@ class ContinuousBatchingScheduler:
         self.slots[slot_id] = None
         logger.debug("request %d finished", request.request_id)
 
-    def _step_chunked(self, active_mask: np.ndarray) -> list[Request]:
-        """Decode ``chunk`` steps in one program, then settle slot states."""
-        first = next(s for s in self.slots if s is not None)
-        lengths_before = self.lengths.copy()
-        self.rng, step_rng = jax.random.split(self.rng)
-        self.cache, toks = self.engine.decode_multi(
-            self.cache, self.next_tokens, steps=self.chunk, active=active_mask,
-            sampling=first.sampling, rng=step_rng,
-            eos_token_id=first.eos_token_id,
+    # ── serve mode (chunk > 1): one device program, one sync per round ───
+
+    def _step_serve(self) -> list[Request]:
+        admitted = self._assign_slots()
+        occupied = [(i, r) for i, r in enumerate(self.slots) if r is not None]
+        if not occupied:
+            return self._drain_completed()
+
+        B = self.engine.max_batch
+        active = np.array([s is not None for s in self.slots])
+        budgets = np.zeros((B,), np.int32)
+        eos = np.full((B,), -1, np.int32)
+        params_list = [
+            r.sampling if r is not None else SamplingParams() for r in self.slots
+        ]
+        for slot_id, request in occupied:
+            budgets[slot_id] = request.max_new_tokens - len(request.output)
+            if request.eos_token_id is not None:
+                eos[slot_id] = request.eos_token_id
+        arrays, variant = batch_sampling_arrays(params_list)
+        self._variant = tuple(
+            a or b for a, b in zip(self._variant, variant)
         )
-        toks = np.asarray(toks)  # (B, chunk)
-        out_len_before = {
-            i: len(r.output) for i, r in enumerate(self.slots) if r is not None
-        }
-        for slot_id, request in enumerate(self.slots):
-            if request is None:
-                continue
-            # Steps that actually advanced: capacity caps them (the engine
-            # clamps at max_seq and re-emits from frozen state past it).
-            room = int(self.engine.max_seq - lengths_before[slot_id])
-            budget = request.max_new_tokens - len(request.output)
-            valid = min(self.chunk, max(room, 0), budget)
-            hit_capacity = room <= valid
-            hit_eos = False
-            for t in toks[slot_id, :valid]:
-                request.output.append(int(t))
-                if request.eos_token_id is not None and t == request.eos_token_id:
-                    hit_eos = True
-                    break
-            self.next_tokens[slot_id] = request.output[-1]
-            # Mirror the device: lengths advance one per live step. The
-            # engine freezes at EOS (done-mask) and clamps at capacity; a
-            # non-EOS sequence keeps advancing for the whole chunk even past
-            # max_new (its surplus steps still wrote KV), so the mirror
-            # counts chunk steps unless EOS cut it short.
-            if hit_eos:
-                advanced = len(request.output) - out_len_before[slot_id]
-            else:
-                advanced = self.chunk
-            self.lengths[slot_id] = min(
-                int(lengths_before[slot_id]) + advanced, self.engine.max_seq
+
+        admit_kw = {}
+        if admitted:
+            ids, lengths, mask = self._build_admit(admitted)
+            admit_kw = dict(
+                admit_ids=ids, admit_lengths=lengths, admit_mask=mask
             )
-            if (
-                hit_eos
-                or hit_capacity
-                or len(request.output) >= request.max_new_tokens
-            ):
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.cache, blob = self.engine.serve_chunk(
+            self.cache, self.next_tokens, steps=self.chunk, active=active,
+            budgets=budgets, eos=eos, sampling_arrays=arrays,
+            variant=self._variant, rng=step_rng, **admit_kw,
+        )
+        blob = np.asarray(blob)  # the round's ONE device fetch
+        t0 = blob[:, 0]
+        out = blob[:, 1 : 1 + self.chunk]
+        emitted = blob[:, -3]
+        done = blob[:, -2].astype(bool)
+        self.lengths = blob[:, -1].astype(np.int32)
+
+        admitted_slots = {slot_id for slot_id, _ in admitted}
+        for slot_id, request in occupied:
+            if slot_id in admitted_slots:
+                request.output.append(int(t0[slot_id]))
+            request.output.extend(
+                int(t) for t in out[slot_id, : emitted[slot_id]]
+            )
+            self.next_tokens[slot_id] = request.output[-1]
+            if done[slot_id]:
                 self._finish(slot_id, request)
         return self._drain_completed()
 
+    # ── per-step mode (chunk == 1): the reference-shaped loop ────────────
+
     def step(self) -> list[Request]:
         """One scheduler iteration: admit, decode, collect finished requests."""
+        if self.chunk > 1:
+            return self._step_serve()
+
         self._admit()
         active_mask = np.array([s is not None for s in self.slots])
         if not active_mask.any():
             return self._drain_completed()
-
-        if self.chunk > 1:
-            return self._step_chunked(active_mask)
 
         self.cache, logits = self.engine.decode(
             self.cache, self.next_tokens, active=active_mask
