@@ -178,8 +178,19 @@ class InferenceEngine:
                 lambda s: NamedSharding(mesh, s), self._param_specs
             )
             self.params = jax.device_put(params, shardings)
-            # tp_localize divides num_kv_heads only when the KV heads shard.
-            kv_sharded = self._exec_model.cfg.num_kv_heads != cfg.num_kv_heads
+            # tp_localize divides num_kv_heads when the KV heads shard, and
+            # sets it to 1 under GQA replicate-slice (1 < kv < tp). Either
+            # way each device caches only its local heads; under slice the
+            # global cache array holds tp entries (duplicated across devices
+            # sharing a KV head — HBM for generality, tp/kv_heads overhead).
+            local_kv = self._exec_model.cfg.num_kv_heads
+            kv_sharded = local_kv != cfg.num_kv_heads
+            if kv_sharded and local_kv * tp != cfg.num_kv_heads:
+                import dataclasses
+
+                self.cache_cfg = dataclasses.replace(
+                    self.cache_cfg, num_kv_heads=local_kv * tp
+                )
             self._cache_specs = self._make_cache_specs(kv_sharded)
             d = self._data_axis
             self._prefill_jit = jax.jit(

@@ -102,6 +102,12 @@ class Gemma3Attention(nn.Module):
         self.o_proj = nn.Linear(cfg.num_heads * cfg.head_dim, d, use_bias=False, dtype=dt)
         self.q_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps, dtype=dt)
         self.k_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps, dtype=dt)
+        # Tensor-parallel replicate-slice markers (set by tp_localize when
+        # 1 < num_kv_heads < tp): the K/V projections stay replicated and
+        # produce ``kv_proj_heads`` heads; each device then slices the ONE
+        # KV head its query shard attends to (head = axis_index // kv_dup).
+        self.kv_proj_heads: int | None = None  # None => cfg.num_kv_heads
+        self.kv_slice: tuple[str, int] | None = None  # (axis_name, dup)
 
     def _flash_ok(self, use_flash, T: int) -> bool:
         if use_flash is False:
@@ -117,6 +123,9 @@ class Gemma3Attention(nn.Module):
     def _qkv(self, params, x, positions, ctx):
         cfg = self.cfg
         B, T, _ = x.shape
+        # Under replicate-slice TP the K/V projections emit all global KV
+        # heads; attention (and the KV cache) use cfg.num_kv_heads local ones.
+        kv_proj_heads = self.kv_proj_heads or cfg.num_kv_heads
         if "_fused_qkv" in params:
             # Engine-load horizontal fusion (see nn/fuse.py): one kernel call.
             from onnx_quantize_tpu.ops import quantized_matmul
@@ -128,7 +137,7 @@ class Gemma3Attention(nn.Module):
                 qkv = jnp.matmul(x, w, preferred_element_type=jnp.float32)
             qkv = qkv.astype(x.dtype)  # keep the activation stream in x.dtype
             n_q = cfg.num_heads * cfg.head_dim
-            n_k = cfg.num_kv_heads * cfg.head_dim
+            n_k = kv_proj_heads * cfg.head_dim
             q = qkv[..., :n_q]
             k = qkv[..., n_q : n_q + n_k]
             v = qkv[..., n_q + n_k :]
@@ -137,8 +146,16 @@ class Gemma3Attention(nn.Module):
             k = self.k_proj(params["k_proj"], x, ctx=ctx)
             v = self.v_proj(params["v_proj"], x, ctx=ctx)
         q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
-        k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-        v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        k = k.reshape(B, T, kv_proj_heads, cfg.head_dim)
+        v = v.reshape(B, T, kv_proj_heads, cfg.head_dim)
+        if self.kv_slice is not None and kv_proj_heads != cfg.num_kv_heads:
+            # GQA replicate-slice: this shard's query heads all attend to one
+            # global KV head — keep only that one (contiguous query sharding
+            # guarantees the shard's heads map into a single KV group).
+            axis_name, dup = self.kv_slice
+            head = jax.lax.axis_index(axis_name) // dup
+            k = jax.lax.dynamic_slice_in_dim(k, head, cfg.num_kv_heads, axis=2)
+            v = jax.lax.dynamic_slice_in_dim(v, head, cfg.num_kv_heads, axis=2)
         q = self.q_norm(params["q_norm"], q)
         k = self.k_norm(params["k_norm"], k)
         base = cfg.rope_theta if self.is_global else cfg.rope_local_base
@@ -418,25 +435,54 @@ class Gemma3(nn.Module):
             return self, rules
         if cfg.num_heads % tp != 0:
             raise ValueError(f"num_heads={cfg.num_heads} not divisible by tp={tp}")
+        # KV-head placement (GQA grid — VERDICT r2 item #4):
+        #   * num_kv_heads % tp == 0  -> shard KV heads (column-parallel k/v),
+        #   * 1 < num_kv_heads < tp, tp % num_kv_heads == 0 -> replicate k/v
+        #     and slice: each device keeps the one KV head its query shard
+        #     attends to (contiguous query sharding keeps GQA groups aligned
+        #     because the global group size H/Hkv is a multiple of H/tp),
+        #   * num_kv_heads == 1 (MQA) -> plain replication.
         kv_sharded = cfg.num_kv_heads % tp == 0
-        if not kv_sharded and cfg.num_kv_heads != 1:
+        kv_sliced = (
+            not kv_sharded
+            and cfg.num_kv_heads > 1
+            and tp % cfg.num_kv_heads == 0
+        )
+        if not kv_sharded and not kv_sliced and cfg.num_kv_heads != 1:
             raise ValueError(
-                f"num_kv_heads={cfg.num_kv_heads} must divide tp or equal 1 "
-                "(positional GQA grouping breaks otherwise)"
+                f"num_kv_heads={cfg.num_kv_heads} must divide tp, be divisible "
+                f"by tp, or equal 1 (got tp={tp}: GQA groups would straddle "
+                "device boundaries)"
             )
+        local_kv = cfg.num_kv_heads // tp if kv_sharded else (
+            1 if kv_sliced else cfg.num_kv_heads
+        )
         local_cfg = dataclasses.replace(
-            cfg,
-            num_heads=cfg.num_heads // tp,
-            num_kv_heads=cfg.num_kv_heads // tp if kv_sharded else cfg.num_kv_heads,
+            cfg, num_heads=cfg.num_heads // tp, num_kv_heads=local_kv,
         )
         local = Gemma3(local_cfg)
         for block in local.blocks:
             block.attn.o_proj.tp_reduce = axis
             block.mlp.down_proj.tp_reduce = axis
+            if kv_sliced:
+                block.attn.kv_proj_heads = cfg.num_kv_heads
+                block.attn.kv_slice = (axis, tp // cfg.num_kv_heads)
         local.embed.tp_vocab_axis = axis
         local._tp_gather_logits = axis
         kv_kind = "column" if kv_sharded else "replicate"
+        # Fused-site kinds carry their segment layout so localize_params can
+        # permute the concatenated columns into per-device [q_i|k_i|v_i]
+        # chunks (duplicating replicated KV segments when sliced).
+        n_q = cfg.num_heads * cfg.head_dim
+        n_kv = cfg.num_kv_heads * cfg.head_dim
+        qkv_fused = ("fused_column",
+                     ((n_q, "column"), (n_kv, kv_kind), (n_kv, kv_kind)))
+        gu_fused = ("fused_column",
+                    ((cfg.intermediate_size, "column"),
+                     (cfg.intermediate_size, "column")))
         rules = [
+            (r"\.attn\._fused_qkv$", qkv_fused),
+            (r"\.mlp\._fused_gate_up$", gu_fused),
             (r"\.attn\.q_proj$", "column"),
             (r"\.attn\.(k_proj|v_proj)$", kv_kind),
             (r"\.attn\.o_proj$", "row"),

@@ -35,6 +35,7 @@ from __future__ import annotations
 import dataclasses
 import re
 
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from onnx_quantize_tpu._logging import get_logger
@@ -50,12 +51,68 @@ __all__ = [
 ]
 
 
-def site_kind(name: str, rules) -> str:
-    """First matching rule wins; unmatched sites replicate."""
+def site_kind(name: str, rules):
+    """First matching rule wins; unmatched sites replicate.
+
+    A kind is a string ("column" / "row" / "replicate" / "vocab") or, for
+    horizontally fused sites, ``("fused_column", ((size, subkind), ...))``
+    where each segment is "column" (shard over tp) or "replicate"."""
     for pattern, kind in rules:
         if re.search(pattern, name):
             return kind
     return "replicate"
+
+
+def _fused_column_perm(tp: int, segments) -> tuple[np.ndarray, int]:
+    """Column permutation turning a fused [seg0|seg1|...] weight into
+    per-device contiguous chunks [seg0_i|seg1_i|...].
+
+    ``device_put``/``shard_map`` shard the N axis into ``tp`` contiguous
+    chunks, so the global array must be re-laid-out (replicated segments are
+    duplicated into every chunk — e.g. full K/V next to each query shard
+    under GQA replicate-slice). Returns (global column index, local width)."""
+    offsets = np.cumsum([0] + [int(s) for s, _ in segments])
+    cols = []
+    for i in range(tp):
+        for (size, sub), off in zip(segments, offsets):
+            if sub == "column":
+                if size % tp != 0:
+                    raise ValueError(
+                        f"fused segment width {size} not divisible by tp={tp}"
+                    )
+                w = size // tp
+                cols.append(np.arange(off + i * w, off + (i + 1) * w))
+            elif sub == "replicate":
+                cols.append(np.arange(off, off + size))
+            else:
+                raise ValueError(f"fused segment kind {sub!r} not supported")
+    perm = np.concatenate(cols)
+    return perm, perm.size // tp
+
+
+def _localize_fused_qtensor(qt: QTensor, tp: int, segments) -> QTensor:
+    """Re-lay-out a fused column-parallel QTensor's columns (see above).
+
+    Unlike the plain kinds this rewrites the ARRAYS, not just the meta: the
+    packed data (K-packed, so columns move freely), grouped scales (G, N),
+    and per-channel scales (N,) all follow the same column permutation."""
+    perm, n_local = _fused_column_perm(tp, segments)
+
+    def take(x):
+        if x is None:
+            return None
+        arr = np.asarray(x)
+        if arr.ndim == 0:
+            return arr
+        return np.take(arr, perm, axis=arr.ndim - 1)
+
+    meta = dataclasses.replace(qt.meta, shape=(qt.meta.shape[0], n_local))
+    return QTensor(
+        data=np.take(np.asarray(qt.data), perm, axis=1),
+        scale=take(qt.scale), zero_point=take(qt.zero_point), meta=meta,
+        input_scale=qt.input_scale, input_zero_point=qt.input_zero_point,
+        output_scale=qt.output_scale, output_zero_point=qt.output_zero_point,
+    )
 
 
 def localize_meta(meta: QTensorMeta, tp: int, kind: str) -> QTensorMeta:
@@ -119,23 +176,27 @@ def localize_params(params: dict, rules, tp: int) -> dict:
     """Rewrite QTensor metas to per-shard shapes per the TP rules.
 
     Array leaves are returned as-is (sharding happens at the shard_map
-    boundary); only static metadata changes. Raises on fused horizontal sites
-    (``_fused_qkv`` etc.) — TP shards q/k/v individually.
+    boundary); only static metadata changes — EXCEPT fused horizontal sites
+    (``_fused_qkv`` / ``_fused_gate_up``), whose columns are host-side
+    re-laid-out into per-device [q_i|k_i|v_i] chunks so the contiguous N
+    sharding lands each device's fused segments together (replicated KV
+    segments are duplicated into every chunk).
     """
 
     def visit(tree, path):
         if isinstance(tree, dict):
-            for key in tree:
-                if key.startswith("_fused"):
-                    raise ValueError(
-                        "TP requires unfused projections (found "
-                        f"{'.'.join(path + (key,))}); skip fuse_gemma3_projections "
-                        "when running with a mesh"
-                    )
             return {k: visit(v, path + (k,)) for k, v in tree.items()}
         name = ".".join(path[:-1])
+        kind = site_kind(name, rules)
+        if isinstance(kind, tuple) and kind[0] == "fused_column":
+            segments = kind[1]
+            if isinstance(tree, QTensor):
+                return _localize_fused_qtensor(tree, tp, segments)
+            if getattr(tree, "ndim", 0) == 2 and path[-1] == "w":
+                perm, _ = _fused_column_perm(tp, segments)
+                return np.take(np.asarray(tree), perm, axis=1)
+            return tree
         if isinstance(tree, QTensor):
-            kind = site_kind(name, rules)
             meta = localize_meta(tree.meta, tp, kind)
             if kind == "row" and tree.meta.output_quant.mode == "static":
                 raise ValueError(
@@ -168,6 +229,10 @@ def build_param_specs(params: dict, rules, axis: str = "model"):
         name = ".".join(path[:-1])
         leaf_key = path[-1]
         kind = site_kind(name, rules)
+        if isinstance(kind, tuple) and kind[0] == "fused_column":
+            # Fused columns were permuted into contiguous per-device chunks
+            # by localize_params — spec-wise they are plain column-parallel.
+            kind = "column"
         if isinstance(tree, QTensor):
             return _qtensor_spec(tree, kind, axis)
         if isinstance(tree, QBias):

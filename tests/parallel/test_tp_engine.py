@@ -14,10 +14,11 @@ from onnx_quantize_tpu.parallel import make_mesh
 
 
 def _quantized_tiny(hidden=128, inter=128, heads=4, head_dim=32, vocab=256,
-                    gs=16, layers=2):
+                    gs=16, layers=2, kv_heads=1):
     cfg = Gemma3Config.tiny(
         hidden_size=hidden, intermediate_size=inter, num_layers=layers,
-        num_heads=heads, num_kv_heads=1, head_dim=head_dim, vocab_size=vocab,
+        num_heads=heads, num_kv_heads=kv_heads, head_dim=head_dim,
+        vocab_size=vocab,
     )
     model = Gemma3(cfg)
     params = model.init(jax.random.key(0))
@@ -75,14 +76,50 @@ def test_tp_engine_runs_pallas_kernels():
     np.testing.assert_array_equal(gen_tp, gen_1)
 
 
-def test_tp_engine_rejects_fused_params():
+@pytest.mark.parametrize("kv_heads,tp", [
+    (1, 2), (1, 4),   # MQA: replicate
+    (2, 2), (4, 2),   # GQA: KV heads shard (kv % tp == 0)
+    (4, 4),           # GQA: one KV head per device
+    (2, 4),           # GQA replicate-slice: kv < tp, tp % kv == 0
+])
+def test_tp_engine_gqa_grid(kv_heads, tp):
+    """GQA KV-head handling across the kv x tp grid (VERDICT r2 item #4):
+    sharded, sliced, and replicated placements must all reproduce the
+    single-device engine."""
+    model, qparams = _quantized_tiny(kv_heads=kv_heads)
+    mesh = make_mesh(model_parallel=tp)
+
+    logits_1, first_1, gen_1, len_1 = _run_engine(model, qparams, steps=2,
+                                                  batch=4)
+    logits_tp, first_tp, gen_tp, len_tp = _run_engine(
+        model, qparams, mesh=mesh, steps=2, batch=4
+    )
+    np.testing.assert_allclose(logits_tp, logits_1, atol=2e-4, rtol=1e-4)
+    np.testing.assert_array_equal(first_tp, first_1)
+    np.testing.assert_array_equal(gen_tp, gen_1)
+    np.testing.assert_array_equal(len_tp, len_1)
+
+
+@pytest.mark.parametrize("kv_heads,tp", [(1, 4), (4, 4), (2, 4)])
+def test_tp_engine_fused_projections(kv_heads, tp):
+    """Fused q/k/v + gate/up params run under TP (the localized columns are
+    permuted into per-device [q_i|k_i|v_i] chunks; replicated KV segments
+    duplicate). Must match the single-device unfused engine."""
     from onnx_quantize_tpu.models.gemma3 import fuse_gemma3_projections
 
-    model, qparams = _quantized_tiny()
+    model, qparams = _quantized_tiny(kv_heads=kv_heads)
     fused = fuse_gemma3_projections(qparams)
-    mesh = make_mesh(model_parallel=4)
-    with pytest.raises(ValueError, match="unfused"):
-        InferenceEngine(model, fused, max_batch=2, max_seq=16, mesh=mesh)
+    assert any(
+        "_fused_qkv" in layer.get("attn", {})
+        for name, layer in fused.items() if name.startswith("layers")
+    ), "fusion must actually trigger for this test to mean anything"
+    mesh = make_mesh(model_parallel=tp)
+
+    logits_1, first_1, gen_1, _ = _run_engine(model, qparams, steps=2)
+    logits_tp, first_tp, gen_tp, _ = _run_engine(model, fused, mesh=mesh, steps=2)
+    np.testing.assert_allclose(logits_tp, logits_1, atol=2e-4, rtol=1e-4)
+    np.testing.assert_array_equal(first_tp, first_1)
+    np.testing.assert_array_equal(gen_tp, gen_1)
 
 
 def test_tp_engine_eos_freeze_matches():
