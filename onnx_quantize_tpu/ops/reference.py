@@ -127,11 +127,14 @@ def _bias_value(bias):
 
 
 def _qdq_matmul(x, qt: QTensor, bias):
-    # The dot runs in the caller's compute dtype (f32 on the oracle/test
-    # paths — identity there; bf16 in the engine, where this path serves
-    # prefill-scale M for W4 sites and a f32 dot would run the MXU at a
-    # fraction of its bf16 rate). The QDQ chain itself stays f32.
-    compute_dtype = x.dtype
+    # Weight-only sites run the dot in the caller's compute dtype (f32 on the
+    # oracle/test paths — identity there; bf16 in the engine, where this path
+    # serves prefill-scale M for W4 and a f32 dot would run the MXU at a
+    # fraction of its bf16 rate). Sites with activation QDQ keep the full f32
+    # chain: the fake-quantized operand IS the semantics there, and rounding
+    # it to bf16 would deviate from the reference's W8A8 numerics.
+    weight_only = qt.meta.input_quant.mode == "none"
+    compute_dtype = x.dtype if weight_only else jnp.float32
     w = dequantize_weight(qt).astype(compute_dtype)
     x = _apply_input_quant(x, qt).astype(compute_dtype)
     y = jnp.matmul(x, w, preferred_element_type=jnp.float32)

@@ -78,7 +78,16 @@ def test_gptq_group_actorder_exact_artifact(rng):
     """GROUP+actorder must emit scales that dequantize the error-corrected
     result exactly (the reference requantizes from the dequantized weight,
     gptq.py:218-231, which is lossy). Exactness shows as idempotence under the
-    emitted qparams AND as not degrading the matmul error vs no-actorder."""
+    emitted qparams AND as not degrading the matmul error vs no-actorder.
+
+    Semantics note (reference vs repo, documented in PARITY.md row 8): the
+    reference permutes individual rows by diag(H) so its loop groups straddle
+    original group boundaries, forcing the lossy post-hoc requantization this
+    test rejects. The repo instead uses a *group-aligned* permutation (whole
+    groups ordered by max diag(H), rows ordered within groups) — loop groups
+    equal original groups, loop-time scales are the artifact. Consequence:
+    actorder+GROUP artifacts are deliberately NOT bit-comparable with the
+    reference's; this test pins the repo's (strictly tighter) contract."""
     from onnx_quantize_tpu.core.numerics import dequantize
 
     K, N, S, gs = 64, 16, 256, 16

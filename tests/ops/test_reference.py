@@ -69,6 +69,31 @@ def test_static_input_qdq(rng):
     np.testing.assert_allclose(y, x @ w, atol=1e-1)
 
 
+def test_static_input_qdq_bf16_stream_keeps_f32_chain(rng):
+    """On a bf16 activation stream, sites WITH activation QDQ must still run
+    the reference f32 chain (the fake-quantized operand IS the semantics);
+    only weight-only sites take the caller's-dtype fast dot. Guards the
+    weight_only gate in ``_qdq_matmul`` (ADVICE r2)."""
+    import jax.numpy as jnp
+
+    in_spec = ActQuantSpec(mode="static", dtype="uint8")
+    x = rng.standard_normal((4, 32)).astype(np.float32)
+    in_scale = np.float32((np.max(x) - np.min(x)) / 255)
+    in_zp = np.float32(np.round(np.clip(-np.min(x) / in_scale, 0, 255)))
+    w, qtensor, dq = _make_weights_only_qt(
+        rng, input_quant=in_spec, input_scale=in_scale, input_zero_point=in_zp
+    )
+    y_bf16 = np.asarray(
+        quantized_matmul_jnp(jnp.asarray(x, jnp.bfloat16), qtensor), np.float32
+    )
+    # Exact f32-chain match: the only deviation allowed is the bf16 rounding
+    # of x itself before the (f32) fake-quant — which the QDQ grid absorbs
+    # for most entries; pin a tight tolerance far below bf16 dot error.
+    x_bf = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+    x_fq = (np.clip(np.round(x_bf / in_scale) + in_zp, 0, 255) - in_zp) * in_scale
+    np.testing.assert_allclose(y_bf16, x_fq @ dq, atol=1e-5)
+
+
 def test_static_output_qdq(rng):
     out_spec = ActQuantSpec(mode="static", dtype="uint8")
     w0 = truncated_normal(np.random.default_rng(1), (32, 16))
