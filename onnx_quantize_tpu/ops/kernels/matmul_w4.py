@@ -198,15 +198,40 @@ def w4_dequant_matmul(x, qt: QTensor, *, interpret: bool | None = None):
     return out[:M].reshape(*batch_shape, N)
 
 
+# VMEM charge for the unpack/dequant temporaries, in bytes per (gs, bn)
+# weight element, derived from the kernel body's value chain per group pair:
+#   w int32 (4) + low int32 (4) + high int32 (4)             = 12
+#   low_c / high_c compute-dtype casts (<= f32: 4 + 4)       =  8
+#   alignment/packing margin Mosaic adds in practice         =  4
+#
+# Two allocation regimes, selected by the M-tile:
+# * bm <= _SHARED_TEMP_BM_MAX (decode): Mosaic's liveness analysis reuses the
+#   buffers across the statically-unrolled pairs, so the charge is ONE
+#   pair's PEAK liveness — the three int32 arrays plus one in-flight cast
+#   (12 + 2, rounded to 16). Verified: the shipped decode configs (ppb up to
+#   n_pairs across the 270M/1B/4B zoo) run within this charge and the model
+#   would flag ~1.5x of it as an OOM at the biggest decode tiles.
+# * bm > _SHARED_TEMP_BM_MAX (prefill/perplexity): compiles materialize the
+#   FULL chain per unrolled pair (both casts live into the two dots), so
+#   every pair is charged all 24 B/elem — consistent with the measured 21M
+#   scoped-vmem OOM at bm=256, ppb=5, N=262144 where a shared-temps model
+#   predicted 9M.
+_TEMP_BYTES_SHARED_ELEM = 16
+_TEMP_BYTES_PER_PAIR_ELEM = 24
+_SHARED_TEMP_BM_MAX = 64
+
+
 def _pick_blocks(bm: int, N: int, gs: int, n_pairs: int) -> tuple[int, int]:
     """Choose (bn, pairs_per_block) minimizing grid-instance count.
 
     Per-grid-instance overhead (~1.5 us on this runtime) dominates small-K
     fat-N decode shapes, so prefer the largest lane-tileable bn, then pack as
     many group pairs per step as the VMEM budget allows. The model charges
-    streamed blocks TWICE (Mosaic double-buffers them) plus ~4 (gs, bn) f32
-    temporaries for the unpack/dequant chain — verified against a scoped-vmem
-    OOM at 19.7M on the Gemma-1B gate_up prefill (limit is 16M/core)."""
+    streamed blocks TWICE (Mosaic double-buffers them) plus the unpack/dequant
+    temporaries (see ``_TEMP_BYTES_PER_PAIR_ELEM``); a 1 MiB headroom below
+    the 16 MiB/core scoped-vmem limit absorbs allocator slack.
+    ``tests/ops/test_w4_blocks.py`` sweeps the model-zoo shapes against this
+    model."""
     budget = 15 * 1024 * 1024
 
     def step_bytes(bn, ppb):
@@ -216,14 +241,10 @@ def _pick_blocks(bm: int, N: int, gs: int, n_pairs: int) -> tuple[int, int]:
             + 2 * ppb * 2 * bn * 4   # scale + zp blocks
             + bm * bn * 4          # out block
         )
-        if bm <= 64:
-            temps = 16 * gs * bn   # decode-proven: ~4 f32 (gs, bn) tiles
+        if bm <= _SHARED_TEMP_BM_MAX:
+            temps = _TEMP_BYTES_SHARED_ELEM * gs * bn
         else:
-            # Large-M (prefill/perplexity) compiles charge the unpack temps
-            # PER UNROLLED PAIR (~24 B/elem: int32 w + low/high + f32 casts) —
-            # measured: 21M scoped-vmem OOM at bm=256, ppb=5, N=262144 where
-            # the shared-temps model predicted 9M.
-            temps = ppb * 24 * gs * bn
+            temps = ppb * _TEMP_BYTES_PER_PAIR_ELEM * gs * bn
         return 2 * streamed + temps + bm * bn * 4  # + acc scratch
 
     # All lane-tileable divisors of N, largest first (non-power-of-two shapes

@@ -51,6 +51,22 @@ def build(lmhead="int8", body="w4", model_name="270m"):
                 weights=oqt.QWeightArgs(dtype="int8", group_size=-1, symmetric=True),
                 ignore=["lm_head"],
             )
+        elif body == "q8":
+            # Full-int8 QLinear execution (the reference's QLinearMatMul mode,
+            # SURVEY §2B): s8 x s8 MXU dots with static requant epilogues.
+            # Calibrated on random token ids (same distribution the decode
+            # bench feeds, so the static ranges match the benched stream).
+            calib = np.random.default_rng(7).integers(
+                1, cfg.vocab_size, size=(8, 128)
+            ).astype(np.int32)
+            qconfig = oqt.QConfig(
+                weights=oqt.QWeightArgs(dtype="int8", group_size=-1, symmetric=True),
+                input_activations=oqt.QActivationArgs(dtype="uint8", is_static=True),
+                output_activations=oqt.QActivationArgs(dtype="uint8", is_static=True),
+                format="qlinear",
+                calibration_data=calib,
+                ignore=["lm_head"],
+            )
         else:
             qconfig = oqt.QConfig(
                 weights=oqt.QWeightArgs(dtype="uint4", group_size=128),
@@ -136,6 +152,7 @@ ARMS = {
     "lmhead_fp": dict(lmhead="fp"),
     "body_w8": dict(body="w8"),
     "body_w4a8": dict(body="w4a8"),
+    "body_q8": dict(body="q8"),
     "body_w8_fused": dict(body="w8", fused=True),
 }
 

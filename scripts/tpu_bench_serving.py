@@ -36,7 +36,7 @@ def build():
 
 
 def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
-          seed=0):
+          seed=0, repeats=5):
     import jax
     import jax.numpy as jnp
     import jax.tree_util as jtu
@@ -56,23 +56,34 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
         for _ in range(n_requests)
     ]
 
-    # Warm the compiled programs on a throwaway workload (compiles measured
-    # separately from serving throughput on this minutes-per-compile runtime).
+    # Warm ALL program variants by running the full workload once: serving
+    # rounds come in several compiled flavors (admit at each bucketed T_pad,
+    # no-admit, drain) and a throwaway short-budget warmup misses most of
+    # them — round 3's first measurement read 292 tok/s because the no-admit
+    # chunk program compiled inside the timed region (minutes-per-compile
+    # runtime; see BENCH.md round 3).
     warm = ContinuousBatchingScheduler(engine, chunk=chunk)
-    for p, m in prompts[:max_batch]:
-        warm.submit(p, max_new_tokens=min(m, 8))
+    for p, m in prompts:
+        warm.submit(p, max_new_tokens=m)
     t0 = time.time()
     warm.run()
     warmup_s = time.time() - t0
 
-    sched = ContinuousBatchingScheduler(engine, chunk=chunk)
-    reqs = [sched.submit(p, max_new_tokens=m) for p, m in prompts]
-    t0 = time.time()
-    finished = sched.run()
-    wall = time.time() - t0
-    assert len(finished) == n_requests and all(r.done for r in reqs)
+    runs = []
+    for _ in range(repeats):
+        sched = ContinuousBatchingScheduler(engine, chunk=chunk)
+        reqs = [sched.submit(p, max_new_tokens=m) for p, m in prompts]
+        t0 = time.time()
+        finished = sched.run()
+        wall = time.time() - t0
+        assert len(finished) == n_requests and all(r.done for r in reqs)
+        generated = sum(len(r.output) for r in reqs)
+        runs.append((generated / wall, generated, wall))
 
-    generated = sum(len(r.output) for r in reqs)
+    runs.sort()
+    gen_rates = [r[0] for r in runs]
+    med = runs[len(runs) // 2]
+    generated, wall = med[1], med[2]
     ingested = sum(len(p) for p, _ in prompts)
     return {
         "chunk": chunk,
@@ -80,7 +91,8 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
         "generated_tokens": generated,
         "ingested_tokens": ingested,
         "wall_s": round(wall, 2),
-        "generated_tok_s": round(generated / wall, 1),
+        "generated_tok_s": round(med[0], 1),
+        "generated_tok_s_range": [round(gen_rates[0], 1), round(gen_rates[-1], 1)],
         "total_tok_s": round((generated + ingested) / wall, 1),
         "warmup_s": round(warmup_s, 1),
     }
@@ -89,7 +101,7 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
 def main():
     model, params = build()
     chunks = tuple(
-        int(c) for c in os.environ.get("OQT_SERVE_CHUNKS", "32,16,1").split(",")
+        int(c) for c in os.environ.get("OQT_SERVE_CHUNKS", "64,32,16,1").split(",")
     )
     rows = []
     for chunk in chunks:
