@@ -93,18 +93,30 @@ def bench_fn(fn, x, *operands, iters: int = 200) -> float:
 
 def bench_quantized_matmul(qt, M: int, *, chip: ChipSpec = V5E, iters: int = 50,
                            dtype=jnp.bfloat16, impl: str = "pallas") -> dict:
-    """Benchmark one QTensor matmul; returns the measurement + roofline %."""
+    """Benchmark one QTensor matmul; returns the measurement + roofline %.
+
+    ``impl="dense"`` is the platform-ceiling control (VERDICT r2 #5): a plain
+    XLA dot against the pre-dequantized bf16 weight at the SAME shape. Its
+    achieved GB/s is the platform's own demonstrated dense-stream rate, the
+    honest ceiling to compare the quantized kernels' percent-of-datasheet
+    against (datasheet bandwidth is not reachable on this runtime).
+    """
     from onnx_quantize_tpu.ops.dispatch import quantized_matmul_pallas
-    from onnx_quantize_tpu.ops.reference import quantized_matmul_jnp
+    from onnx_quantize_tpu.ops.reference import dequantize_weight, quantized_matmul_jnp
 
     K, N = qt.meta.shape
     x = jnp.asarray(np.random.default_rng(0).standard_normal((M, K)), dtype=dtype)
 
-    call = quantized_matmul_pallas if impl == "pallas" else quantized_matmul_jnp
-    sec = bench_fn(lambda a, w: call(a, w, None), x, qt, iters=iters)
+    if impl == "dense":
+        w_dense = dequantize_weight(qt).astype(dtype)
+        sec = bench_fn(lambda a, w: a @ w, x, w_dense, iters=iters)
+        weight_bytes = int(np.asarray(w_dense).nbytes)
+    else:
+        call = quantized_matmul_pallas if impl == "pallas" else quantized_matmul_jnp
+        sec = bench_fn(lambda a, w: call(a, w, None), x, qt, iters=iters)
+        weight_bytes = int(np.asarray(qt.data).nbytes + np.asarray(qt.scale).nbytes)
 
     flops = 2 * M * K * N
-    weight_bytes = int(np.asarray(qt.data).nbytes + np.asarray(qt.scale).nbytes)
     bytes_accessed = weight_bytes + x.nbytes + M * N * 4
     tflops = flops / sec / 1e12
     gbps = bytes_accessed / sec / 1e9
@@ -133,7 +145,7 @@ def main():
     parser.add_argument("--n", type=int, default=2048)
     parser.add_argument("--group-size", type=int, default=128)
     parser.add_argument("--iters", type=int, default=200)
-    parser.add_argument("--impl", choices=["pallas", "jnp"], default="pallas")
+    parser.add_argument("--impl", choices=["pallas", "jnp", "dense"], default="pallas")
     args = parser.parse_args()
 
     from onnx_quantize_tpu.algorithms.rtn import rtn_quantize

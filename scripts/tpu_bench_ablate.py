@@ -23,6 +23,8 @@ os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def build(lmhead="int8", body="w4", model_name="270m"):
     import dataclasses
