@@ -397,7 +397,7 @@ class InferenceEngine:
         )
         return cache, out.T  # (B, steps)
 
-    def _serve_impl(self, params, cache, admit, tokens, active, budgets, eos,
+    def _serve_impl(self, params, cache, admit, tokens, done0, budgets, eos,
                     temps, top_ks, top_ps, rng, steps: int,
                     variant: tuple[bool, bool, bool]):
         """ONE serving round as ONE device program (SURVEY §2B serving row;
@@ -408,18 +408,24 @@ class InferenceEngine:
         per round (each fetch costs ~32 ms through the tunneled runtime).
 
         ``admit``: None or (ids (B, T_pad), lengths (B,), mask (B,)).
-        Per-slot arrays: ``budgets`` remaining max_new per slot (admission's
-        first token counts against it), ``eos`` EOS id or -1, ``temps`` /
-        ``top_ks`` / ``top_ps`` the sampler rows. ``variant`` is the static
-        (need_temp, need_topk, need_topp) OR over the batch.
+        Per-slot arrays: ``done0`` slots already frozen/empty at entry (the
+        negation of "active"), ``budgets`` remaining max_new per slot
+        (admission's first token counts against it), ``eos`` EOS id or -1,
+        ``temps`` / ``top_ks`` / ``top_ps`` the sampler rows. ``variant`` is
+        the static (need_temp, need_topk, need_topp) OR over the batch.
 
         A slot freezes (no KV writes, no length advance, output padded) when
         it emits EOS, exhausts its budget, or hits cache capacity — unlike
         ``_decode_multi_impl``, surplus steps past max_new do NOT advance KV.
 
-        Returns ``(cache, blob (B, steps + 4) int32)`` with columns
-        ``[t0, out_0..out_{steps-1}, emitted, done, lengths]`` where
-        ``emitted`` counts valid scan tokens (prefix of ``out``; excludes t0).
+        Returns ``(cache, blob, carry)``: ``blob (B, steps + 4) int32`` with
+        columns ``[t0, out_0..out_{steps-1}, emitted, done, lengths]``
+        (``emitted`` counts valid scan tokens — prefix of ``out``, excluding
+        t0), and ``carry = (tokens', done', budgets')`` — the device-resident
+        per-slot state that lets the scheduler dispatch a CONTINUATION round
+        (admit=None, same sampler arrays) without reading this round's blob
+        first: the tunnel sync then hides behind the next round's compute
+        (pipelined serving, BENCH.md round 3).
         """
         need_temp, need_topk, need_topp = variant
 
@@ -431,19 +437,21 @@ class InferenceEngine:
 
         rngs = jax.random.split(rng, steps + 1)
         eos_on = eos >= 0
-        done = jnp.logical_not(active)
+        done = done0
         if admit is not None:
             ids, lengths, mask = admit
             cache, last, _ = self._prefill_impl(params, cache, ids, lengths, mask)
             t0 = samp(last, rngs[0])
             tokens = jnp.where(mask, t0, tokens)
             emitted0 = mask.astype(jnp.int32)
+            done = jnp.logical_and(done, jnp.logical_not(mask))
             done = jnp.logical_or(done, mask & eos_on & (t0 == eos))
         else:
             t0 = tokens
             emitted0 = jnp.zeros_like(tokens)
         done = jnp.logical_or(done, emitted0 >= budgets)
         done = jnp.logical_or(done, cache["lengths"] >= self.max_seq)
+        active = jnp.logical_not(done)
 
         def step(carry, step_rng):
             cache, toks, done, emitted = carry
@@ -461,7 +469,7 @@ class InferenceEngine:
             return (cache, nxt, done, emitted), nxt
 
         emitted_init = jnp.zeros_like(budgets)
-        (cache, _, done, emitted), out = jax.lax.scan(
+        (cache, toks, done, emitted), out = jax.lax.scan(
             step, (cache, tokens, done, emitted_init), rngs[1:], length=steps
         )
         blob = jnp.concatenate(
@@ -474,7 +482,8 @@ class InferenceEngine:
             ],
             axis=1,
         ).astype(jnp.int32)
-        return cache, blob
+        carry = (toks, done, budgets - emitted0 - emitted)
+        return cache, blob, carry
 
     def _tp_serve_jit(self, steps: int, variant, has_admit: bool, t_pad: int):
         """shard_map'd serve round; one compiled program per static config."""
@@ -484,10 +493,10 @@ class InferenceEngine:
             d = self._data_axis
             admit_specs = (P(d, None), P(d), P(d)) if has_admit else None
 
-            def impl(params, cache, admit, tokens, active, budgets, eos,
+            def impl(params, cache, admit, tokens, done0, budgets, eos,
                      temps, top_ks, top_ps, rng):
                 return self._serve_impl(
-                    params, cache, admit, tokens, active, budgets, eos,
+                    params, cache, admit, tokens, done0, budgets, eos,
                     temps, top_ks, top_ps, rng, steps, variant,
                 )
 
@@ -496,7 +505,7 @@ class InferenceEngine:
                     impl, mesh=self.mesh,
                     in_specs=(self._param_specs, self._cache_specs, admit_specs,
                               P(d), P(d), P(d), P(d), P(d), P(d), P(d), P()),
-                    out_specs=(self._cache_specs, P(d, None)),
+                    out_specs=(self._cache_specs, P(d, None), (P(d), P(d), P(d))),
                     check_vma=False,
                 ),
                 donate_argnums=(1,),
@@ -559,10 +568,12 @@ class InferenceEngine:
             jnp.asarray(active), steps, sampling, rng, eos_token_id,
         )
 
-    def serve_chunk(self, cache, tokens: np.ndarray, steps: int, *,
-                    active: np.ndarray, budgets: np.ndarray, eos: np.ndarray,
-                    sampling_arrays, variant: tuple[bool, bool, bool],
-                    rng: jax.Array,
+    def serve_chunk(self, cache, tokens: np.ndarray | None, steps: int, *,
+                    eos: np.ndarray, sampling_arrays,
+                    variant: tuple[bool, bool, bool], rng: jax.Array,
+                    active: np.ndarray | None = None,
+                    budgets: np.ndarray | None = None,
+                    carry=None,
                     admit_ids: np.ndarray | None = None,
                     admit_lengths: np.ndarray | None = None,
                     admit_mask: np.ndarray | None = None):
@@ -571,8 +582,17 @@ class InferenceEngine:
         ``sampling_arrays`` = (temps, top_ks, top_ps) per-slot rows (build
         with ``sampling.batch_sampling_arrays``); ``variant`` their static
         feature flags. Pass ``admit_*`` to fold this round's admissions'
-        masked prefill into the same program. Returns ``(cache, blob)`` with
-        blob (B, steps + 4) int32 = [t0, out..., emitted, done, lengths].
+        masked prefill into the same program.
+
+        Per-slot entry state comes from EITHER host arrays (``tokens``,
+        ``active``, ``budgets``) OR a ``carry`` returned by the previous
+        round — the latter is entirely device-resident, so a continuation
+        round can be dispatched BEFORE the previous round's blob is read:
+        the scheduler pipelines rounds and the tunnel sync hides behind
+        device compute.
+
+        Returns ``(cache, blob, carry)`` with blob (B, steps + 4) int32 =
+        [t0, out..., emitted, done, lengths].
         """
         temps, top_ks, top_ps = sampling_arrays
         admit = None
@@ -582,9 +602,14 @@ class InferenceEngine:
                 jnp.asarray(admit_lengths, jnp.int32),
                 jnp.asarray(admit_mask),
             )
+        if carry is not None:
+            toks, done0, budgets_arr = carry
+        else:
+            toks = jnp.asarray(tokens, jnp.int32)
+            done0 = jnp.logical_not(jnp.asarray(active))
+            budgets_arr = jnp.asarray(budgets, jnp.int32)
         args = (
-            self.params, cache, admit, jnp.asarray(tokens, jnp.int32),
-            jnp.asarray(active), jnp.asarray(budgets, jnp.int32),
+            self.params, cache, admit, toks, done0, budgets_arr,
             jnp.asarray(eos, jnp.int32), jnp.asarray(temps, jnp.float32),
             jnp.asarray(top_ks, jnp.int32), jnp.asarray(top_ps, jnp.float32),
             rng,

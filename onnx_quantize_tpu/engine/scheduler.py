@@ -62,10 +62,19 @@ class ContinuousBatchingScheduler:
     """Admits requests into engine slots and steps the decode batch."""
 
     def __init__(self, engine: InferenceEngine, rng: jax.Array | None = None,
-                 chunk: int = 1):
-        assert chunk >= 1
+                 chunk: int = 1, pipeline: int = 1):
+        assert chunk >= 1 and pipeline >= 1
         self.engine = engine
         self.chunk = chunk
+        # pipeline > 1 (serve mode only): dispatch up to this many serve
+        # rounds back-to-back using the device-resident carry BEFORE reading
+        # any result blob — the per-round host sync (~28 ms on the tunneled
+        # runtime) then hides behind the next rounds' device compute.
+        # Admissions happen only at group boundaries, so a freed slot waits
+        # at most pipeline*chunk steps; outputs are unchanged (each row's
+        # tokens are independent of batch composition, and frozen slots stop
+        # emitting in-program).
+        self.pipeline = pipeline
         self.cache = engine.new_cache()
         self.queue: deque[Request] = deque()
         self.slots: list[Request | None] = [None] * engine.max_batch
@@ -217,28 +226,47 @@ class ContinuousBatchingScheduler:
                 admit_ids=ids, admit_lengths=lengths, admit_mask=mask
             )
         self.rng, step_rng = jax.random.split(self.rng)
-        self.cache, blob = self.engine.serve_chunk(
+        self.cache, blob, carry = self.engine.serve_chunk(
             self.cache, self.next_tokens, steps=self.chunk, active=active,
             budgets=budgets, eos=eos, sampling_arrays=arrays,
             variant=self._variant, rng=step_rng, **admit_kw,
         )
-        blob = np.asarray(blob)  # the round's ONE device fetch
-        t0 = blob[:, 0]
-        out = blob[:, 1 : 1 + self.chunk]
-        emitted = blob[:, -3]
-        done = blob[:, -2].astype(bool)
-        self.lengths = blob[:, -1].astype(np.int32)
+        blobs = [blob]
+        # Pipelined continuation rounds: dispatched from the device carry
+        # before ANY blob fetch. The host over-estimates the rounds still
+        # needed (budgets only; EOS finishes waste at most a group tail).
+        rounds_needed = int(max(
+            (-(-int(budgets[s]) // self.chunk) for s, _ in occupied), default=1
+        ))
+        for _ in range(min(self.pipeline - 1, rounds_needed - 1)):
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.cache, blob, carry = self.engine.serve_chunk(
+                self.cache, None, steps=self.chunk, eos=eos,
+                sampling_arrays=arrays, variant=self._variant, rng=step_rng,
+                carry=carry,
+            )
+            blobs.append(blob)
 
         admitted_slots = {slot_id for slot_id, _ in admitted}
-        for slot_id, request in occupied:
-            if slot_id in admitted_slots:
-                request.output.append(int(t0[slot_id]))
-            request.output.extend(
-                int(t) for t in out[slot_id, : emitted[slot_id]]
-            )
-            self.next_tokens[slot_id] = request.output[-1]
-            if done[slot_id]:
-                self._finish(slot_id, request)
+        for round_idx, blob in enumerate(blobs):
+            blob = np.asarray(blob)  # one fetch per round; device runs ahead
+            t0 = blob[:, 0]
+            out = blob[:, 1 : 1 + self.chunk]
+            emitted = blob[:, -3]
+            done = blob[:, -2].astype(bool)
+            self.lengths = blob[:, -1].astype(np.int32)
+            first = round_idx == 0
+            for slot_id, request in occupied:
+                if request.done:
+                    continue
+                if first and slot_id in admitted_slots:
+                    request.output.append(int(t0[slot_id]))
+                request.output.extend(
+                    int(t) for t in out[slot_id, : emitted[slot_id]]
+                )
+                self.next_tokens[slot_id] = request.output[-1]
+                if done[slot_id]:
+                    self._finish(slot_id, request)
         return self._drain_completed()
 
     # ── per-step mode (chunk == 1): the reference-shaped loop ────────────

@@ -36,7 +36,7 @@ def build():
 
 
 def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
-          seed=0, repeats=5):
+          seed=0, repeats=5, pipeline=1):
     import jax
     import jax.numpy as jnp
     import jax.tree_util as jtu
@@ -62,7 +62,7 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
     # them — round 3's first measurement read 292 tok/s because the no-admit
     # chunk program compiled inside the timed region (minutes-per-compile
     # runtime; see BENCH.md round 3).
-    warm = ContinuousBatchingScheduler(engine, chunk=chunk)
+    warm = ContinuousBatchingScheduler(engine, chunk=chunk, pipeline=pipeline)
     for p, m in prompts:
         warm.submit(p, max_new_tokens=m)
     t0 = time.time()
@@ -71,7 +71,7 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
 
     runs = []
     for _ in range(repeats):
-        sched = ContinuousBatchingScheduler(engine, chunk=chunk)
+        sched = ContinuousBatchingScheduler(engine, chunk=chunk, pipeline=pipeline)
         reqs = [sched.submit(p, max_new_tokens=m) for p, m in prompts]
         t0 = time.time()
         finished = sched.run()
@@ -87,6 +87,7 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
     ingested = sum(len(p) for p, _ in prompts)
     return {
         "chunk": chunk,
+        "pipeline": pipeline,
         "requests": n_requests,
         "generated_tokens": generated,
         "ingested_tokens": ingested,
@@ -103,9 +104,10 @@ def main():
     chunks = tuple(
         int(c) for c in os.environ.get("OQT_SERVE_CHUNKS", "64,32,16,1").split(",")
     )
+    pipeline = int(os.environ.get("OQT_SERVE_PIPELINE", "1"))
     rows = []
     for chunk in chunks:
-        rows.append(serve(model, params, chunk))
+        rows.append(serve(model, params, chunk, pipeline=pipeline))
         print(json.dumps(rows[-1]), flush=True)
     print(json.dumps({"probe": "serving_270m", "rows": rows}))
 

@@ -106,9 +106,9 @@ def test_sample_batch_topk_restricts_support():
 # ── scheduler: heterogeneous requests in one program ─────────────────────
 
 
-def _run(model, params, chunk, reqs, max_seq=48):
-    engine = _engine(model, params, max_seq=max_seq)
-    sched = ContinuousBatchingScheduler(engine, chunk=chunk)
+def _run(model, params, chunk, reqs, max_seq=48, pipeline=1, max_batch=2):
+    engine = _engine(model, params, max_seq=max_seq, max_batch=max_batch)
+    sched = ContinuousBatchingScheduler(engine, chunk=chunk, pipeline=pipeline)
     handles = [sched.submit(p, **kw) for p, kw in reqs]
     sched.run()
     assert all(r.done for r in handles)
@@ -213,3 +213,60 @@ def test_full_length_prompt_emits_one_token(quantized_model):
     chunked = _run(model, qparams, 4, [(prompt, dict(max_new_tokens=4))], max_seq=12)
     assert base == chunked
     assert len(base[0]) == 1
+
+
+# ── pipelined rounds (device-resident carry) ─────────────────────────────
+
+
+def test_pipelined_rounds_match_unpipelined(quantized_model):
+    """pipeline > 1 dispatches continuation rounds from the device carry
+    before any blob fetch; outputs must equal the unpipelined serve mode and
+    the per-step loop exactly (greedy + per-request EOS + budgets)."""
+    model, qparams = quantized_model
+    probe = _run(model, qparams, 1, [
+        ([5, 9, 17], dict(max_new_tokens=12)),
+        ([3, 2, 77, 8], dict(max_new_tokens=12)),
+    ])
+    reqs = [
+        ([5, 9, 17], dict(max_new_tokens=12, eos_token_id=probe[0][5])),
+        ([3, 2, 77, 8], dict(max_new_tokens=9, eos_token_id=None)),
+    ]
+    base = _run(model, qparams, 1, reqs)
+    for pipeline in (2, 4):
+        got = _run(model, qparams, 4, reqs, pipeline=pipeline)
+        assert got == base, pipeline
+
+
+def test_pipelined_sampling_deterministic(quantized_model):
+    """Sampled outputs under pipelining are reproducible for a fixed seed
+    and stay within budget/vocab."""
+    model, qparams = quantized_model
+    reqs = [
+        ([5, 9, 17], dict(max_new_tokens=10,
+                          sampling=SamplingParams(temperature=0.8, top_k=12))),
+        ([3, 2, 77], dict(max_new_tokens=7)),
+    ]
+    a = _run(model, qparams, 4, reqs, pipeline=3)
+    b = _run(model, qparams, 4, reqs, pipeline=3)
+    assert a == b
+    assert len(a[0]) <= 10 and all(0 <= t < 128 for t in a[0])
+    # The greedy row is indifferent to its neighbor's sampling and to the
+    # round grouping.
+    greedy_ref = _run(model, qparams, 1, [reqs[1]])
+    assert a[1] == greedy_ref[0]
+
+
+def test_pipelined_continuous_load_all_complete(quantized_model):
+    """More requests than slots: admissions at group boundaries, frozen
+    slots wait for the group tail — every request still completes with the
+    same greedy outputs as the per-step loop."""
+    model, qparams = quantized_model
+    rng = np.random.default_rng(3)
+    reqs = [
+        (list(rng.integers(1, 128, size=int(rng.integers(2, 8)))),
+         dict(max_new_tokens=int(rng.integers(3, 12))))
+        for _ in range(7)
+    ]
+    base = _run(model, qparams, 1, reqs, max_batch=2)
+    got = _run(model, qparams, 4, reqs, pipeline=3, max_batch=2)
+    assert got == base
