@@ -7,11 +7,23 @@ from onnx_quantize_tpu.models.gemma3 import (
     fuse_gemma3_projections,
 )
 from onnx_quantize_tpu.models.bert import BertClassifier, BertConfig
+from onnx_quantize_tpu.models.llama import (
+    LLAMA32_1B,
+    LLAMA32_3B,
+    Llama,
+    llama_config,
+    load_llama_hf,
+)
 from onnx_quantize_tpu.models.transformer import TransformerConfig, TransformerLM
 
 __all__ = [
     "BertClassifier",
     "BertConfig",
+    "Llama",
+    "llama_config",
+    "LLAMA32_1B",
+    "LLAMA32_3B",
+    "load_llama_hf",
     "Gemma3",
     "Gemma3Config",
     "GEMMA3_270M",

@@ -45,6 +45,21 @@ class Gemma3Config:
     rms_norm_eps: float = 1e-6
     query_pre_attn_scalar: float = 256.0
     dtype: str = "float32"
+    # Architecture-variant switches (defaults = Gemma-3 semantics). Flipping
+    # them per the Llama/Qwen conventions reuses this whole decoder — and its
+    # engine/TP/fusion/kernel paths — for those families (models/llama.py):
+    # no QK-norm, pre-norm only, SiLU MLP, unscaled embeddings, plain-w
+    # RMSNorm gain, optionally untied lm_head, every layer global
+    # (sliding_pattern=1), llama3 rope frequency scaling.
+    use_qk_norm: bool = True
+    sandwich_norms: bool = True
+    mlp_activation: str = "gelu_tanh"  # "gelu_tanh" | "silu"
+    scale_embeddings: bool = True
+    rms_one_plus: bool = True
+    tie_lm_head: bool = True
+    # llama3-style rope scaling: (factor, low_freq_factor, high_freq_factor,
+    # original_max_position_embeddings), or None.
+    rope_scaling: tuple | None = None
 
     def is_global_layer(self, idx: int) -> bool:
         return (idx + 1) % self.sliding_pattern == 0
@@ -100,8 +115,11 @@ class Gemma3Attention(nn.Module):
         self.k_proj = nn.Linear(d, cfg.num_kv_heads * cfg.head_dim, use_bias=False, dtype=dt)
         self.v_proj = nn.Linear(d, cfg.num_kv_heads * cfg.head_dim, use_bias=False, dtype=dt)
         self.o_proj = nn.Linear(cfg.num_heads * cfg.head_dim, d, use_bias=False, dtype=dt)
-        self.q_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps, dtype=dt)
-        self.k_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps, dtype=dt)
+        if cfg.use_qk_norm:
+            self.q_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps, dtype=dt,
+                                  one_plus=cfg.rms_one_plus)
+            self.k_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps, dtype=dt,
+                                  one_plus=cfg.rms_one_plus)
         # Tensor-parallel replicate-slice markers (set by tp_localize when
         # 1 < num_kv_heads < tp): the K/V projections stay replicated and
         # produce ``kv_proj_heads`` heads; each device then slices the ONE
@@ -156,11 +174,12 @@ class Gemma3Attention(nn.Module):
             head = jax.lax.axis_index(axis_name) // dup
             k = jax.lax.dynamic_slice_in_dim(k, head, cfg.num_kv_heads, axis=2)
             v = jax.lax.dynamic_slice_in_dim(v, head, cfg.num_kv_heads, axis=2)
-        q = self.q_norm(params["q_norm"], q)
-        k = self.k_norm(params["k_norm"], k)
+        if cfg.use_qk_norm:
+            q = self.q_norm(params["q_norm"], q)
+            k = self.k_norm(params["k_norm"], k)
         base = cfg.rope_theta if self.is_global else cfg.rope_local_base
-        q = apply_rope(q, positions, base)
-        k = apply_rope(k, positions, base)
+        q = apply_rope(q, positions, base, scaling=cfg.rope_scaling)
+        k = apply_rope(k, positions, base, scaling=cfg.rope_scaling)
         q = q * (cfg.query_pre_attn_scalar ** -0.5)
         return q, k, v
 
@@ -242,6 +261,7 @@ class Gemma3MLP(nn.Module):
     def __init__(self, cfg: Gemma3Config):
         super().__init__()
         dt = cfg.jnp_dtype
+        self.activation = cfg.mlp_activation
         self.gate_proj = nn.Linear(cfg.hidden_size, cfg.intermediate_size, use_bias=False, dtype=dt)
         self.up_proj = nn.Linear(cfg.hidden_size, cfg.intermediate_size, use_bias=False, dtype=dt)
         self.down_proj = nn.Linear(cfg.intermediate_size, cfg.hidden_size, use_bias=False, dtype=dt)
@@ -254,6 +274,7 @@ class Gemma3MLP(nn.Module):
             dn = params["down_proj"].get("w")
             if (
                 getattr(self, "use_megakernel", False)
+                and self.activation == "gelu_tanh"  # the kernel computes GeGLU
                 and isinstance(w, nn.QTensor)
                 and isinstance(dn, nn.QTensor)
                 and "prescale" not in params["down_proj"]
@@ -279,7 +300,10 @@ class Gemma3MLP(nn.Module):
         else:
             gate = self.gate_proj(params["gate_proj"], x, ctx=ctx)
             up = self.up_proj(params["up_proj"], x, ctx=ctx)
-        act = jax.nn.gelu(gate, approximate=True) * up
+        if self.activation == "silu":
+            act = jax.nn.silu(gate) * up
+        else:
+            act = jax.nn.gelu(gate, approximate=True) * up
         return self.down_proj(params["down_proj"], act, ctx=ctx)
 
 
@@ -289,21 +313,30 @@ class Gemma3Block(nn.Module):
         dt = cfg.jnp_dtype
         self.attn = Gemma3Attention(cfg, layer_idx)
         self.mlp = Gemma3MLP(cfg)
-        self.input_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt)
-        self.post_attn_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt)
-        self.pre_ffn_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt)
-        self.post_ffn_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt)
+        one_plus = cfg.rms_one_plus
+        self.sandwich = cfg.sandwich_norms
+        self.input_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt,
+                                  one_plus=one_plus)
+        self.pre_ffn_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt,
+                                    one_plus=one_plus)
+        if self.sandwich:
+            self.post_attn_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                                          dtype=dt, one_plus=one_plus)
+            self.post_ffn_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                                         dtype=dt, one_plus=one_plus)
 
     def __call__(self, params, x, positions, mask, ctx: Context | None = None,
                  kv_write=None, use_flash: bool | str = "auto"):
         h = self.input_norm(params["input_norm"], x)
         h = self.attn(params["attn"], h, positions, mask, ctx=ctx, kv_write=kv_write,
                       use_flash=use_flash)
-        h = self.post_attn_norm(params["post_attn_norm"], h)
+        if self.sandwich:
+            h = self.post_attn_norm(params["post_attn_norm"], h)
         x = x + h
         h = self.pre_ffn_norm(params["pre_ffn_norm"], x)
         h = self.mlp(params["mlp"], h, ctx=ctx)
-        h = self.post_ffn_norm(params["post_ffn_norm"], h)
+        if self.sandwich:
+            h = self.post_ffn_norm(params["post_ffn_norm"], h)
         return x + h
 
 
@@ -360,7 +393,8 @@ class Gemma3(nn.Module):
             block = Gemma3Block(cfg, i)
             setattr(self, f"layers.{i}", block)
             self.blocks.append(block)
-        self.final_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt)
+        self.final_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt,
+                                  one_plus=cfg.rms_one_plus)
         # The lm_head site; by default tied to the embedding at init
         # (quantize() unties it automatically when both are quantized).
         self.lm_head = nn.Linear(cfg.hidden_size, cfg.vocab_size, use_bias=False, dtype=dt)
@@ -375,9 +409,10 @@ class Gemma3(nn.Module):
 
     def init(self, rng: jax.Array) -> dict:
         params = super().init(rng)
-        # Tie lm_head to the embedding (transposed view shares the buffer;
-        # untie_params copies it if both end up quantized).
-        params["lm_head"] = {"w": params["embed"]["w"].T}
+        if self.cfg.tie_lm_head:
+            # Tie lm_head to the embedding (transposed view shares the buffer;
+            # untie_params copies it if both end up quantized).
+            params["lm_head"] = {"w": params["embed"]["w"].T}
         return params
 
     def hidden_states(self, params, input_ids, ctx=None, positions=None, kv_write=None,
@@ -389,7 +424,9 @@ class Gemma3(nn.Module):
         if kv_positions is None:
             kv_positions = positions
 
-        x = self.embed(params["embed"], input_ids) * math.sqrt(cfg.hidden_size)
+        x = self.embed(params["embed"], input_ids)
+        if cfg.scale_embeddings:
+            x = x * math.sqrt(cfg.hidden_size)
         x = x.astype(cfg.jnp_dtype)
 
         mask_local = make_attention_mask(cfg, positions, kv_positions, is_global=False)
