@@ -2,8 +2,10 @@ from onnx_quantize_tpu.engine.engine import InferenceEngine
 from onnx_quantize_tpu.engine.kv_cache import KVCacheConfig, init_cache, read_kv, write_kv
 from onnx_quantize_tpu.engine.sampling import SamplingParams, sample
 from onnx_quantize_tpu.engine.scheduler import ContinuousBatchingScheduler, Request
+from onnx_quantize_tpu.engine.speculative import SpeculativeDecoder
 
 __all__ = [
+    "SpeculativeDecoder",
     "InferenceEngine",
     "KVCacheConfig",
     "init_cache",

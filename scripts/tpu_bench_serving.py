@@ -29,9 +29,11 @@ def build():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import _build
 
-    from onnx_quantize_tpu.models.gemma3 import GEMMA3_270M
+    from onnx_quantize_tpu.models.gemma3 import GEMMA3_1B, GEMMA3_270M
 
-    cfg = dataclasses.replace(GEMMA3_270M, dtype="bfloat16")
+    name = os.environ.get("OQT_SERVE_MODEL", "270m").lower()
+    base = GEMMA3_1B if name == "1b" else GEMMA3_270M
+    cfg = dataclasses.replace(base, dtype="bfloat16")
     return _build(cfg, quantized=True, cpu_device=jax.devices("cpu")[0])
 
 
@@ -109,7 +111,8 @@ def main():
     for chunk in chunks:
         rows.append(serve(model, params, chunk, pipeline=pipeline))
         print(json.dumps(rows[-1]), flush=True)
-    print(json.dumps({"probe": "serving_270m", "rows": rows}))
+    name = os.environ.get("OQT_SERVE_MODEL", "270m").lower()
+    print(json.dumps({"probe": f"serving_{name}", "rows": rows}))
 
 
 if __name__ == "__main__":
