@@ -61,6 +61,9 @@ def build(tiny: bool):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--chunk", type=int, default=16)
+    parser.add_argument("--pipeline", type=int, default=1,
+                        help="serve rounds dispatched before reading results "
+                        "(hides the host round-trip behind device compute)")
     parser.add_argument("--requests", type=int, default=32)
     parser.add_argument("--slots", type=int, default=8)
     parser.add_argument("--max-seq", type=int, default=256)
@@ -73,7 +76,8 @@ def main():
         kv_quant=True,
         dtype=jnp.bfloat16 if model.cfg.dtype == "bfloat16" else jnp.float32,
     )
-    sched = ContinuousBatchingScheduler(engine, chunk=args.chunk)
+    sched = ContinuousBatchingScheduler(engine, chunk=args.chunk,
+                                        pipeline=args.pipeline)
 
     rng = np.random.default_rng(0)
     eos = int(rng.integers(1, model.cfg.vocab_size))

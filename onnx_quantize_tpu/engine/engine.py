@@ -26,6 +26,7 @@ from onnx_quantize_tpu.engine.kv_cache import (
     read_kv,
     read_kv_quantized,
     write_kv,
+    write_kv_window,
 )
 from onnx_quantize_tpu.engine.sampling import SamplingParams, sample, sample_batch
 
@@ -265,7 +266,7 @@ class InferenceEngine:
     # ── model forward with cache ─────────────────────────────────────────
 
     def _forward(self, params, cache_holder, ids, positions, kv_positions,
-                 last_lengths=None):
+                 last_lengths=None, kv_window=None):
         # A quantized cache is always handed over raw: the model either runs
         # the fused flash-decode kernel (opt-in, decode steps only) or the
         # scale-folded XLA attend — int8 K/V never materialize dequantized.
@@ -273,9 +274,18 @@ class InferenceEngine:
         quantized = self.cache_cfg.quantized
 
         def kv_write_fn(layer, k, v):
-            cache_holder["cache"] = write_kv(
-                cache_holder["cache"], layer, k, v, positions
-            )
+            if kv_window is not None:
+                # Contiguous per-row windows (the speculative verify): the
+                # general scatter below rewrites cache traffic proportional
+                # to S_max for offset windows — use in-place slice updates.
+                start, ok = kv_window
+                cache_holder["cache"] = write_kv_window(
+                    cache_holder["cache"], layer, k, v, start, ok
+                )
+            else:
+                cache_holder["cache"] = write_kv(
+                    cache_holder["cache"], layer, k, v, positions
+                )
             if quantized:
                 return read_kv_quantized(
                     cache_holder["cache"], layer, use_kernel=fused

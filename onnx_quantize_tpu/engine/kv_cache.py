@@ -118,6 +118,51 @@ def write_kv(cache: dict, layer: int, k, v, positions) -> dict:
     return new
 
 
+def write_kv_window(cache: dict, layer: int, k, v, start, ok) -> dict:
+    """Contiguous-window K/V write at per-row offsets (B rows, T columns).
+
+    ``write_kv``'s general scatter lowers to cache traffic proportional to
+    S_max when the (B, T) positions are per-row OFFSET windows (measured on
+    the 4B speculative verify, round 3: 15.2 ms at S=2048 vs 4.4 ms at
+    S=512, and a bf16 cache doubles it — the scatter rewrites the cache, not
+    the window). Per-row in-place ``dynamic_update_slice`` costs O(B*T*H*D):
+    the same verify drops to decode-step cost.
+
+    ``start``: (B,) int32 window starts; ``ok``: (B,) bool — rows with
+    ``ok=False`` keep their window unchanged (the frozen-slot analogue of
+    the scatter's mode="drop"; clamped starts never corrupt because the
+    old window is blended back).
+    """
+    quantized = "k_scale" in cache
+    B, T = k.shape[:2]
+    S = cache["k"].shape[2]
+    ok = jnp.logical_and(ok, start + T <= S)
+
+    def upd(buf, rows):
+        rows = rows.astype(buf.dtype)
+        for b in range(B):  # static: latency-mode batches are small
+            s = jnp.clip(start[b], 0, S - T)
+            idx = (layer, b, s) + (0,) * (buf.ndim - 3)
+            size = (1, 1, T) + buf.shape[3:]
+            cur = jax.lax.dynamic_slice(buf, idx, size)
+            blend = jnp.where(ok[b], rows[b][None, None], cur)
+            buf = jax.lax.dynamic_update_slice(buf, blend, idx)
+        return buf
+
+    new = dict(cache)
+    if quantized:
+        kq, ks = _quantize_sym(k)
+        vq, vs = _quantize_sym(v)
+        new["k"] = upd(cache["k"], kq)
+        new["v"] = upd(cache["v"], vq)
+        new["k_scale"] = upd(cache["k_scale"], ks)
+        new["v_scale"] = upd(cache["v_scale"], vs)
+    else:
+        new["k"] = upd(cache["k"], k)
+        new["v"] = upd(cache["v"], v)
+    return new
+
+
 def read_kv_quantized(cache: dict, layer: int, use_kernel: bool = False) -> QuantizedKV:
     """The layer's raw int8 K/V + scales (no dequantization, no HBM copy)."""
     return QuantizedKV(

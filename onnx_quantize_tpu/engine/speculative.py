@@ -79,7 +79,12 @@ class SpeculativeDecoder:
         visible = (L + T * act.astype(jnp.int32))[:, None]
         kv_positions = jnp.where(slot < visible, slot, _FAR)
         holder = {"cache": dict(cache)}
-        logits = eng._forward(params, holder, ids, positions, kv_positions)
+        # kv_window: contiguous per-row writes via dynamic_update_slice —
+        # the general scatter costs cache traffic proportional to max_seq
+        # for offset windows (4B verify 15.2 -> ~5 ms; BENCH.md round 3).
+        logits = eng._forward(
+            params, holder, ids, positions, kv_positions, kv_window=(L, act)
+        )
         return holder["cache"], jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def _impl(self, tgt_params, dft_params, tgt_cache, dft_cache, tokens,

@@ -60,6 +60,8 @@ class Gemma3Config:
     # llama3-style rope scaling: (factor, low_freq_factor, high_freq_factor,
     # original_max_position_embeddings), or None.
     rope_scaling: tuple | None = None
+    # Qwen-2 convention: q/k/v projections carry biases (Gemma/Llama do not).
+    attn_bias: bool = False
 
     def is_global_layer(self, idx: int) -> bool:
         return (idx + 1) % self.sliding_pattern == 0
@@ -111,9 +113,10 @@ class Gemma3Attention(nn.Module):
         self.is_global = cfg.is_global_layer(layer_idx)
         d = cfg.hidden_size
         dt = cfg.jnp_dtype
-        self.q_proj = nn.Linear(d, cfg.num_heads * cfg.head_dim, use_bias=False, dtype=dt)
-        self.k_proj = nn.Linear(d, cfg.num_kv_heads * cfg.head_dim, use_bias=False, dtype=dt)
-        self.v_proj = nn.Linear(d, cfg.num_kv_heads * cfg.head_dim, use_bias=False, dtype=dt)
+        ab = cfg.attn_bias
+        self.q_proj = nn.Linear(d, cfg.num_heads * cfg.head_dim, use_bias=ab, dtype=dt)
+        self.k_proj = nn.Linear(d, cfg.num_kv_heads * cfg.head_dim, use_bias=ab, dtype=dt)
+        self.v_proj = nn.Linear(d, cfg.num_kv_heads * cfg.head_dim, use_bias=ab, dtype=dt)
         self.o_proj = nn.Linear(cfg.num_heads * cfg.head_dim, d, use_bias=False, dtype=dt)
         if cfg.use_qk_norm:
             self.q_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps, dtype=dt,

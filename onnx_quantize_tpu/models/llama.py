@@ -25,7 +25,10 @@ from onnx_quantize_tpu.models.import_hf import _read_safetensors
 
 logger = get_logger(__name__)
 
-__all__ = ["llama_config", "Llama", "LLAMA32_1B", "LLAMA32_3B", "load_llama_hf"]
+__all__ = [
+    "llama_config", "Llama", "LLAMA32_1B", "LLAMA32_3B", "QWEN25_05B",
+    "load_llama_hf",
+]
 
 # The decoder class is shared; the config carries the family differences.
 Llama = Gemma3
@@ -44,9 +47,15 @@ def llama_config(
     rope_scaling: tuple | None = None,
     rms_norm_eps: float = 1e-5,
     tie_lm_head: bool = True,
+    attn_bias: bool = False,
     dtype: str = "float32",
 ) -> Gemma3Config:
-    """A Gemma3Config expressing Llama conventions (see module docstring)."""
+    """A Gemma3Config expressing Llama conventions (see module docstring).
+
+    ``attn_bias=True`` adds q/k/v projection biases (the Qwen-2 convention;
+    those sites become "Gemm" sites for the quantizer, exercising the
+    reference's bias-quantization path on a real family).
+    """
     head_dim = head_dim or hidden_size // num_heads
     return Gemma3Config(
         vocab_size=vocab_size,
@@ -69,6 +78,7 @@ def llama_config(
         rms_one_plus=False,
         tie_lm_head=tie_lm_head,
         rope_scaling=rope_scaling,
+        attn_bias=attn_bias,
         dtype=dtype,
     )
 
@@ -86,6 +96,13 @@ LLAMA32_3B = llama_config(
     vocab_size=128_256, hidden_size=3072, intermediate_size=8192,
     num_layers=28, num_heads=24, num_kv_heads=8, head_dim=128,
     rope_scaling=(32.0, 1.0, 4.0, 8192),
+)
+
+# Qwen-2.5-0.5B (HF config.json): GQA with q/k/v biases, theta 1e6, tied head.
+QWEN25_05B = llama_config(
+    vocab_size=151_936, hidden_size=896, intermediate_size=4864,
+    num_layers=24, num_heads=14, num_kv_heads=2, head_dim=64,
+    rope_theta=1_000_000.0, rms_norm_eps=1e-6, attn_bias=True,
 )
 
 
@@ -119,13 +136,20 @@ def load_llama_hf(model, directory: str, dtype=jnp.float32) -> dict:
         "embed": {"w": jnp.asarray(get("model.embed_tokens.weight"), dtype=dtype)},
         "final_norm": {"w": jnp.asarray(get("model.norm.weight"), dtype=dtype)},
     }
+    def site(name: str, bias: bool):
+        entry = {"w": proj(f"{name}.weight")}
+        if bias:
+            entry["b"] = jnp.asarray(get(f"{name}.bias"), dtype=dtype)
+        return entry
+
+    ab = cfg.attn_bias
     for i in range(cfg.num_layers):
         prefix = f"model.layers.{i}"
         params[f"layers.{i}"] = {
             "attn": {
-                "q_proj": {"w": proj(f"{prefix}.self_attn.q_proj.weight")},
-                "k_proj": {"w": proj(f"{prefix}.self_attn.k_proj.weight")},
-                "v_proj": {"w": proj(f"{prefix}.self_attn.v_proj.weight")},
+                "q_proj": site(f"{prefix}.self_attn.q_proj", ab),
+                "k_proj": site(f"{prefix}.self_attn.k_proj", ab),
+                "v_proj": site(f"{prefix}.self_attn.v_proj", ab),
                 "o_proj": {"w": proj(f"{prefix}.self_attn.o_proj.weight")},
             },
             "mlp": {

@@ -11,9 +11,11 @@ be measured honestly on random weights:
   steps + one (B, k+1) verify forward) — both slope-timed;
 * the implied tokens/s at acceptance rates alpha (tokens/round =
   1 + alpha*(k-1)) and the break-even alpha;
-* exactness: the speculative stream equals target-only greedy even at
-  ~zero acceptance (the correctness contract, also pinned on CPU in
-  tests/engine/test_speculative.py).
+* the greedy prefix match rate vs the plain decode stream: exact in f32
+  (tests/engine/test_speculative.py); on a bf16 stream the (B, k+1) verify
+  and the (B, 1) decode reduce in different orders, so near-tied argmaxes
+  can flip — reported, not asserted;
+* the round decomposition (draft step vs verify cost).
 
 Run alone on the chip:
   PYTHONPATH=/root/repo:$PYTHONPATH python scripts/tpu_bench_speculative.py
@@ -107,18 +109,65 @@ def bench_target(target_name, dmodel, dparams, batch, k, repeats=3):
     emitted = blob[:, :, k]
     accept_measured = float(emitted.mean())  # ~1 with uncorrelated drafts
 
-    # Correctness at ~zero acceptance: speculative stream == plain greedy.
+    # Correctness at ~zero acceptance: speculative stream vs plain greedy.
+    # On a bf16 activation stream the (B, k+1) verify forward and the (B, 1)
+    # decode compute logits with different reduction orders, so near-tied
+    # argmaxes can flip (both are valid greedy under bf16 noise; the f32
+    # contract is exact - tests/engine/test_speculative.py). Report the
+    # match rate instead of asserting bit-equality.
     tc, dc, first = fresh()
     _, _, cblob = spec.decode(tc, dc, first, 64,
                               budgets=np.full((batch,), 64, np.int32))
     cblob = np.asarray(cblob)
+    matches, total = 0, 0
     for b in range(batch):
         toks = []
         for r in range(cblob.shape[1]):
             toks.extend(cblob[b, r, : cblob[b, r, k]].tolist())
-        assert toks[:64] == gen_plain[b, :64].tolist(), (
-            f"row {b}: speculative diverges from target greedy"
-        )
+        ref = gen_plain[b, :64].tolist()
+        got = toks[:64]
+        n = min(len(got), len(ref))
+        # Count the matching prefix: one tie-flip changes the whole suffix.
+        p = 0
+        while p < n and got[p] == ref[p]:
+            p += 1
+        matches += p
+        total += n
+    match_rate = matches / max(total, 1)
+
+    # Round decomposition: draft-scan-only and verify-only slopes.
+    def draft_only(steps):
+        _, dc, first = fresh()
+        t0 = time.time()
+        dc, gen = dft.decode_multi(dc, first, steps=steps)
+        np.asarray(gen)
+        return time.time() - t0
+
+    draft_only(64); draft_only(256)
+    d_lo = min(draft_only(64) for _ in range(repeats))
+    d_hi = min(draft_only(256) for _ in range(repeats))
+    draft_step_us = (d_hi - d_lo) / (256 - 64) * 1e6
+
+    import jax as _jax
+
+    verify_fn = _jax.jit(
+        lambda p, c, i: spec._verify(p, c, i, np.ones((batch,), bool))
+    )
+    tc, dc, first = fresh()
+    vids = np.tile(first[:, None], (1, k + 1)).astype(np.int32)
+
+    def verify_n(n):
+        t0 = time.time()
+        out = None
+        for _ in range(n):
+            _, out = verify_fn(tgt.params, tc, vids)
+        np.asarray(out)
+        return time.time() - t0
+
+    verify_n(4)
+    v_lo = min(verify_n(8) for _ in range(repeats))
+    v_hi = min(verify_n(32) for _ in range(repeats))
+    verify_us = (v_hi - v_lo) / (32 - 8) * 1e6
 
     def implied_tps(alpha):
         return batch * (1 + alpha * (k - 1)) / (round_us / 1e6)
@@ -140,7 +189,9 @@ def bench_target(target_name, dmodel, dparams, batch, k, repeats=3):
             str(a): round(implied_tps(a) / plain_tps, 3) for a in (0.6, 0.8, 1.0)
         },
         "breakeven_accept_rate": round(breakeven, 3),
-        "exact_greedy_match": True,
+        "greedy_prefix_match_rate": round(match_rate, 3),
+        "draft_step_us": round(draft_step_us, 1),
+        "verify_us": round(verify_us, 1),
     }
 
 

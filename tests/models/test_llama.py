@@ -172,3 +172,73 @@ def test_quantized_output_close_to_fp():
     q = np.asarray(model(qparams, ids))
     rel = np.abs(q - fp).max() / (np.abs(fp).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+# ── Qwen-2.5 (attention biases) on the same decoder ──────────────────────
+
+
+def test_qwen_import_reproduces_hf_logits(tmp_path):
+    """Gold parity vs transformers' Qwen2ForCausalLM: q/k/v biases, GQA,
+    theta-1e6 rope, tied head — all on the shared decoder."""
+    torch = pytest.importorskip("torch")
+    tfm = pytest.importorskip("transformers")
+
+    cfg = llama_config(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=2, num_kv_heads=1, rope_theta=1_000_000.0,
+        rms_norm_eps=1e-6, attn_bias=True,
+    )
+    hf_cfg = tfm.Qwen2Config(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.rms_norm_eps,
+        tie_word_embeddings=True,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(2)
+    hf_model = tfm.Qwen2ForCausalLM(hf_cfg).eval().to(torch.float32)
+    # Random biases (init is zeros) so the bias path is actually exercised.
+    with torch.no_grad():
+        for layer in hf_model.model.layers:
+            for p in (layer.self_attn.q_proj, layer.self_attn.k_proj,
+                      layer.self_attn.v_proj):
+                p.bias.normal_(0.0, 0.5)
+    hf_model.save_pretrained(tmp_path / "hf", safe_serialization=True)
+
+    ids = np.array([[3, 17, 91, 4, 4, 55, 18, 2]], np.int32)
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(ids).long()).logits.float().numpy()
+
+    model = Llama(cfg)
+    params = load_llama_hf(model, str(tmp_path / "hf"))
+    # Biases imported (non-zero) into the Gemm sites.
+    assert np.abs(np.asarray(params["layers.0"]["attn"]["q_proj"]["b"])).max() > 0
+    ours = np.asarray(model(params, jnp.asarray(ids)), np.float32)
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=3e-4)
+    np.testing.assert_array_equal(ours.argmax(-1), ref.argmax(-1))
+
+
+def test_qwen_quantizes_as_gemm_sites():
+    """Biased q/k/v are "Gemm" sites: weight + bias quantization applies."""
+    cfg = llama_config(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=1,
+        num_heads=2, num_kv_heads=1, attn_bias=True,
+    )
+    model = Llama(cfg)
+    sites = {s.name: s.op_type for s in model.linear_sites()}
+    assert sites["layers.0.attn.q_proj"] == "Gemm"
+    assert sites["layers.0.attn.o_proj"] == "MatMul"
+
+    params = model.init(jax.random.key(0))
+    qparams, _ = oqt.quantize(model, params, oqt.QConfig(
+        weights=oqt.QWeightArgs(dtype="int8", group_size=-1)))
+    ids = np.arange(1, 7, dtype=np.int32).reshape(1, 6)
+    fp = np.asarray(model(params, ids))
+    q = np.asarray(model(qparams, ids))
+    rel = np.abs(q - fp).max() / (np.abs(fp).max() + 1e-9)
+    assert rel < 0.05, rel
