@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import time
 from collections import deque
 
 import jax
@@ -56,6 +57,11 @@ class Request:
     # Filled by the scheduler:
     output: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # Host-side latency timestamps (time.monotonic): queued at submit(),
+    # admitted when the request takes a slot, finished at completion.
+    t_submitted: float = 0.0
+    t_admitted: float = 0.0
+    t_finished: float = 0.0
 
 
 class ContinuousBatchingScheduler:
@@ -101,6 +107,7 @@ class ContinuousBatchingScheduler:
             )
         if request.max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
+        request.t_submitted = time.monotonic()
         self.queue.append(request)
         return request
 
@@ -117,6 +124,7 @@ class ContinuousBatchingScheduler:
             if slot is not None or not self.queue:
                 continue
             request = self.queue.popleft()
+            request.t_admitted = time.monotonic()
             self.slots[slot_id] = request
             admitted.append((slot_id, request))
             logger.debug("admitted request %d into slot %d", request.request_id, slot_id)
@@ -191,6 +199,7 @@ class ContinuousBatchingScheduler:
 
     def _finish(self, slot_id: int, request: Request) -> None:
         request.done = True
+        request.t_finished = time.monotonic()
         self.completed.append(request)
         self.slots[slot_id] = None
         logger.debug("request %d finished", request.request_id)

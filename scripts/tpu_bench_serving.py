@@ -87,7 +87,22 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
     med = runs[len(runs) // 2]
     generated, wall = med[1], med[2]
     ingested = sum(len(p) for p, _ in prompts)
+
+    # Per-request latency percentiles from the LAST measured run (host
+    # timestamps the scheduler records at submit/admit/finish). All
+    # requests are submitted upfront, so "total" includes queueing - the
+    # time-in-system distribution under a saturating burst.
+    def pct(vals, q):
+        return round(float(np.percentile(vals, q)) * 1e3, 1)
+
+    service = [r.t_finished - r.t_admitted for r in reqs]
+    total = [r.t_finished - r.t_submitted for r in reqs]
+    latency = {
+        "service_ms_p50": pct(service, 50), "service_ms_p99": pct(service, 99),
+        "total_ms_p50": pct(total, 50), "total_ms_p99": pct(total, 99),
+    }
     return {
+        "latency": latency,
         "chunk": chunk,
         "pipeline": pipeline,
         "requests": n_requests,
