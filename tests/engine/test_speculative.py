@@ -124,3 +124,83 @@ def test_mismatched_engines_rejected(target_setup):
             _engine(model, params, max_seq=64),
             _engine(model, params, max_seq=32),
         )
+
+
+# ── sampled speculative (rejection scheme) ────────────────────────────────
+
+
+def test_sampled_accept_marginal_matches_target():
+    """Monte-Carlo pin of the rejection scheme: the FIRST emitted token's
+    empirical distribution must equal softmax(p_0) exactly (the speculative
+    sampling theorem) for an arbitrary (and deliberately bad) draft q."""
+    import jax.numpy as jnp
+
+    from onnx_quantize_tpu.engine.speculative import sampled_accept
+
+    V, kp, trials = 6, 3, 20000
+    rng = np.random.default_rng(0)
+    p_logits = jnp.asarray(rng.standard_normal((1, kp + 1, V)), jnp.float32)
+    q_logits = jnp.asarray(2.0 * rng.standard_normal((1, kp, V)), jnp.float32)
+    temps = jnp.ones((1,), jnp.float32)
+
+    def one(key):
+        kd, ka = jax.random.split(key)
+        # Draft proposes from q (position-wise), as the real draft scan does.
+        drafts = jax.random.categorical(kd, q_logits[0], axis=-1)[None, :]
+        toks, n = sampled_accept(p_logits, q_logits, drafts, temps, ka)
+        return toks[0, 0]  # first emitted token
+
+    keys = jax.random.split(jax.random.key(42), trials)
+    firsts = np.asarray(jax.vmap(one)(keys))
+    emp = np.bincount(firsts, minlength=V) / trials
+    want = np.asarray(jax.nn.softmax(p_logits[0, 0]))
+    np.testing.assert_allclose(emp, want, atol=0.015), (emp, want)
+
+
+def test_sampled_accept_perfect_draft_accepts():
+    """q == p: acceptance probability is 1 for every draft."""
+    import jax.numpy as jnp
+
+    from onnx_quantize_tpu.engine.speculative import sampled_accept
+
+    V, kp = 8, 3
+    rng = np.random.default_rng(1)
+    p = jnp.asarray(rng.standard_normal((2, kp + 1, V)), jnp.float32)
+    q = p[:, :kp]
+    drafts = jnp.asarray(rng.integers(0, V, size=(2, kp)), jnp.int32)
+    toks, n = sampled_accept(p, q, drafts, jnp.ones((2,)), jax.random.key(0))
+    assert (np.asarray(n) == kp).all()
+    np.testing.assert_array_equal(np.asarray(toks)[:, :kp], np.asarray(drafts))
+
+
+def test_sampled_generate_deterministic_and_budgeted(target_setup):
+    model, params = target_setup
+    qparams = _drafts(target_setup)["quantized"][1]
+    spec = SpeculativeDecoder(
+        _engine(model, params), _engine(model, qparams), k=3
+    )
+    a = spec.generate(PROMPTS, max_new_tokens=11, temperature=0.8,
+                      rng=jax.random.key(7))
+    b = spec.generate(PROMPTS, max_new_tokens=11, temperature=0.8,
+                      rng=jax.random.key(7))
+    assert a == b
+    assert all(len(o) == 11 for o in a)
+    assert all(0 <= t < 128 for o in a for t in o)
+    c = spec.generate(PROMPTS, max_new_tokens=11, temperature=0.8,
+                      rng=jax.random.key(8))
+    assert c != a  # different seed, different stream
+
+
+def test_sampled_eos_stops(target_setup):
+    model, params = target_setup
+    spec = SpeculativeDecoder(
+        _engine(model, params), _engine(model, params), k=3
+    )
+    probe = spec.generate(PROMPTS, max_new_tokens=10, temperature=0.9,
+                          rng=jax.random.key(3))
+    eos = probe[0][2]
+    got = spec.generate(PROMPTS, max_new_tokens=10, temperature=0.9,
+                        eos_token_id=eos, rng=jax.random.key(3))
+    assert got[0][-1] == eos or len(got[0]) == 10
+    # The stream up to EOS matches the unstopped stream (same seeds).
+    assert got[0] == probe[0][: len(got[0])]
