@@ -156,6 +156,9 @@ class InferenceEngine:
             # logical shape).
             self.params = prepare_kernel_scales(params)
             self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
+            self._prefix_prefill_jit = jax.jit(
+                self._prefix_prefill_impl, donate_argnums=(1,)
+            )
             self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
             self._decode_multi_jit = jax.jit(
                 self._decode_multi_impl, donate_argnums=(1,), static_argnums=(4, 5, 7)
@@ -344,6 +347,66 @@ class InferenceEngine:
         # round-trip per admission round (~32 ms on the tunneled runtime).
         return merged, last, jnp.argmax(last, axis=-1).astype(jnp.int32)
 
+    def _prefix_prefill_impl(self, params, cache, prefix, ids, lengths,
+                             slot_mask):
+        """Suffix prefill on top of an implanted KV prefix (prefix caching).
+
+        ``prefix``: dict of (L, P, H, D) K/V (+ (L, P, H) scales) — a shared
+        prompt prefix's cache rows (see :meth:`snapshot_prefix`). ``ids``:
+        (B, T_pad) SUFFIX tokens; ``lengths``: (B,) absolute totals
+        (P + suffix). The prefix rows are broadcast into every row of the
+        working cache (the slot-mask merge restores untouched slots), the
+        suffix runs at positions P..P+T-1, and only the suffix's forward is
+        paid — the TTFT saving for shared system prompts.
+        """
+        B, T = ids.shape
+        P = prefix["k"].shape[1]
+        work = dict(cache)
+        for key, arr in prefix.items():
+            # (L, P, ...) -> (L, B, P, ...) broadcast write at slot offset 0.
+            block = jnp.broadcast_to(
+                arr[:, None], (arr.shape[0], B) + arr.shape[1:]
+            ).astype(work[key].dtype)
+            work[key] = jax.lax.dynamic_update_slice(
+                work[key], block, (0,) * work[key].ndim
+            )
+
+        positions = P + jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.int32)[None, :], (B, T)
+        )
+        slot = jnp.arange(self.max_seq, dtype=jnp.int32)[None, :]
+        kv_positions = jnp.where(slot < lengths[:, None], slot, _FAR)
+
+        holder = {"cache": work}
+        # The hidden states cover only the T suffix positions: the last-token
+        # gather index is suffix-local (absolute length minus the prefix).
+        last = self._forward(
+            params, holder, ids, positions, kv_positions,
+            last_lengths=lengths - P,
+        )[:, 0]
+        new = holder["cache"]
+        merged = {}
+        for key in new:
+            if key == "lengths":
+                continue
+            shape = [1, B] + [1] * (new[key].ndim - 2)
+            merged[key] = jnp.where(slot_mask.reshape(shape), new[key], cache[key])
+        merged["lengths"] = jnp.where(slot_mask, lengths, cache["lengths"])
+        return merged, last, jnp.argmax(last, axis=-1).astype(jnp.int32)
+
+    def snapshot_prefix(self, cache, row: int, length: int) -> dict:
+        """Extract rows [0, length) of slot ``row`` as a reusable KV prefix.
+
+        Returns device arrays shaped (L, length, H, D) (+ scales) suitable
+        for :meth:`prefill`'s ``prefix`` argument. Typically taken once from
+        a throwaway prefill of the shared system prompt
+        (``ContinuousBatchingScheduler.register_prefix`` does exactly that).
+        """
+        keys = ["k", "v"] + (
+            ["k_scale", "v_scale"] if self.cache_cfg.quantized else []
+        )
+        return {key: cache[key][:, row, :length] for key in keys}
+
     def _decode_impl(self, params, cache, tokens, active):
         """tokens: (B,) next input token per slot; active: (B,) bool."""
         lengths = cache["lengths"]
@@ -526,19 +589,34 @@ class InferenceEngine:
     # ── public API ───────────────────────────────────────────────────────
 
     def prefill(self, cache, ids: np.ndarray, lengths: np.ndarray,
-                slot_mask: np.ndarray | None = None, with_tokens: bool = False):
+                slot_mask: np.ndarray | None = None, with_tokens: bool = False,
+                prefix: dict | None = None):
         """Prefill; returns (cache, last_token_logits (B, V)).
 
         ``slot_mask`` selects which batch slots are written (default: all).
         ``with_tokens=True`` also returns the greedy first tokens (B,)
         computed inside the compiled program (no extra device round-trip).
+        With ``prefix`` (a :meth:`snapshot_prefix` dict), ``ids`` are the
+        SUFFIX tokens and ``lengths`` the absolute totals (prefix + suffix):
+        only the suffix's forward is computed (prefix caching).
         """
         if slot_mask is None:
             slot_mask = np.ones((self.max_batch,), bool)
-        cache, logits, tokens = self._prefill_jit(
-            self.params, cache, jnp.asarray(ids, jnp.int32),
-            jnp.asarray(lengths, jnp.int32), jnp.asarray(slot_mask),
-        )
+        if prefix is not None:
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "prefix caching is single-chip for now (shard the prefix "
+                    "rows with the cache specs to extend it)"
+                )
+            cache, logits, tokens = self._prefix_prefill_jit(
+                self.params, cache, prefix, jnp.asarray(ids, jnp.int32),
+                jnp.asarray(lengths, jnp.int32), jnp.asarray(slot_mask),
+            )
+        else:
+            cache, logits, tokens = self._prefill_jit(
+                self.params, cache, jnp.asarray(ids, jnp.int32),
+                jnp.asarray(lengths, jnp.int32), jnp.asarray(slot_mask),
+            )
         if with_tokens:
             return cache, logits, tokens
         return cache, logits

@@ -54,6 +54,10 @@ class Request:
     max_new_tokens: int = 32
     sampling: SamplingParams = SamplingParams()
     eos_token_id: int | None = None
+    # True when ``prompt`` is the SUFFIX after the scheduler's registered
+    # shared prefix (see ``register_prefix``) — admission implants the
+    # cached prefix KV and prefills only the suffix.
+    use_prefix: bool = False
     # Filled by the scheduler:
     output: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -96,12 +100,52 @@ class ContinuousBatchingScheduler:
         # top-p, keep the superset variant (semantically identical — disabled
         # rows are no-ops) so request churn doesn't flip-flop recompiles.
         self._variant: tuple[bool, bool, bool] = (False, False, False)
+        # Shared prompt-prefix cache (register_prefix): KV snapshot + length.
+        self._prefix: dict | None = None
+        self._prefix_len = 0
+
+    def register_prefix(self, tokens: list[int]) -> int:
+        """Cache a shared prompt prefix's KV once; later ``submit(...,
+        use_prefix=True)`` requests pass only their SUFFIX and admission
+        skips the prefix's prefill entirely (the system-prompt TTFT saving).
+
+        Returns the prefix length. One prefix per scheduler; re-registering
+        replaces it (in-flight prefix requests keep their implanted rows).
+        """
+        if not tokens:
+            raise ValueError("prefix must be non-empty")
+        if len(tokens) >= self.engine.max_seq:
+            raise ValueError(
+                f"prefix length {len(tokens)} leaves no room in max_seq="
+                f"{self.engine.max_seq}"
+            )
+        B = self.engine.max_batch
+        ids = np.zeros((B, len(tokens)), np.int32)
+        ids[0, :] = tokens
+        lengths = np.zeros((B,), np.int32)
+        lengths[0] = len(tokens)
+        mask = np.zeros((B,), bool)
+        mask[0] = True
+        # Throwaway prefill into slot 0 of a scratch cache, then snapshot.
+        scratch, _ = self.engine.prefill(
+            self.engine.new_cache(), ids, np.maximum(lengths, 1), slot_mask=mask
+        )
+        self._prefix = self.engine.snapshot_prefix(scratch, 0, len(tokens))
+        self._prefix_len = len(tokens)
+        return self._prefix_len
 
     def submit(self, prompt: list[int], **kwargs) -> Request:
         request = Request(request_id=next(self._id_counter), prompt=prompt, **kwargs)
-        if len(prompt) > self.engine.max_seq:
+        total = len(prompt)
+        if request.use_prefix:
+            if self._prefix is None:
+                raise ValueError("use_prefix=True but no prefix registered")
+            if len(prompt) < 1:
+                raise ValueError("prefix requests need >= 1 suffix token")
+            total += self._prefix_len
+        if total > self.engine.max_seq:
             raise ValueError(
-                f"prompt length {len(prompt)} exceeds the engine's "
+                f"prompt length {total} exceeds the engine's "
                 f"max_seq={self.engine.max_seq}; KV writes past capacity would "
                 "be silently dropped — truncate the prompt or raise max_seq"
             )
@@ -130,13 +174,15 @@ class ContinuousBatchingScheduler:
             logger.debug("admitted request %d into slot %d", request.request_id, slot_id)
         return admitted
 
-    def _build_admit(self, admitted):
+    def _build_admit(self, admitted, offset: int = 0):
         """Padded (ids, lengths, mask) for a masked batch prefill.
 
         The padded width is bucketed to a multiple of 64 so arbitrary prompt
         lengths reuse a handful of compiled programs instead of one per
         distinct length — on runtimes with minutes-long compiles, per-length
-        compilation would dwarf the serving time."""
+        compilation would dwarf the serving time. ``offset`` shifts the
+        recorded lengths by a shared implanted-prefix length (the ids stay
+        suffix-only)."""
         B = self.engine.max_batch
         longest = max(max(len(r.prompt), 1) for _, r in admitted)
         T_pad = min(-(-longest // 64) * 64, self.engine.max_seq)
@@ -145,19 +191,19 @@ class ContinuousBatchingScheduler:
         mask = np.zeros((B,), bool)
         for slot_id, request in admitted:
             ids[slot_id, : len(request.prompt)] = request.prompt
-            lengths[slot_id] = max(len(request.prompt), 1)
+            lengths[slot_id] = offset + max(len(request.prompt), 1)
             mask[slot_id] = True
         return ids, lengths, mask
 
-    def _admit(self) -> None:
-        """Per-step mode admission: ONE masked prefill call + first tokens."""
-        admitted = self._assign_slots()
-        if not admitted:
-            return
-        ids, new_lengths, mask = self._build_admit(admitted)
+    def _prefill_group(self, admitted, prefixed: bool) -> None:
+        """ONE masked prefill call for an admission group + first tokens."""
+        ids, new_lengths, mask = self._build_admit(
+            admitted, offset=self._prefix_len if prefixed else 0
+        )
         self.lengths = new_lengths.copy()
         self.cache, logits, greedy = self.engine.prefill(
-            self.cache, ids, new_lengths, slot_mask=mask, with_tokens=True
+            self.cache, ids, new_lengths, slot_mask=mask, with_tokens=True,
+            prefix=self._prefix if prefixed else None,
         )
         if all(r.sampling.temperature <= 0 for _, r in admitted):
             # Greedy admissions read the in-program argmax — no extra
@@ -181,6 +227,15 @@ class ContinuousBatchingScheduler:
                 or len(request.output) >= request.max_new_tokens
             ):
                 self._finish(slot_id, request)
+
+    def _admit(self) -> None:
+        """Per-step mode admission: one masked prefill call per group
+        (prefix-implanted requests, then plain ones)."""
+        admitted = self._assign_slots()
+        for prefixed in (True, False):
+            group = [a for a in admitted if a[1].use_prefix == prefixed]
+            if group:
+                self._prefill_group(group, prefixed)
 
     def _sample_rows(self, logits, pairs) -> dict[int, int]:
         """Sample next tokens for the given (slot, request) pairs with ONE
@@ -208,6 +263,16 @@ class ContinuousBatchingScheduler:
 
     def _step_serve(self) -> list[Request]:
         admitted = self._assign_slots()
+        prefixed = [a for a in admitted if a[1].use_prefix]
+        if prefixed:
+            # Prefix-implanted admissions run as their own masked prefill
+            # call (one extra device round-trip per round WITH such
+            # admissions) — the serve program folds only plain admissions.
+            self._prefill_group(prefixed, prefixed=True)
+            admitted = [
+                a for a in admitted
+                if not a[1].use_prefix and not a[1].done
+            ]
         occupied = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         if not occupied:
             return self._drain_completed()
