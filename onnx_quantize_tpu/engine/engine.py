@@ -61,6 +61,11 @@ def prepare_kernel_scales(params):
             and leaf.meta.strat == QuantizationStrategy.GROUP
         ):
             return leaf
+        if getattr(leaf.data, "ndim", 2) != 2:
+            # Stacked MoE expert weights (leading expert axis): bake BEFORE
+            # stacking (stack_moe_experts docstring) — per-expert slices of an
+            # already-baked stack keep the kernel layout.
+            return leaf
         if getattr(leaf.scale, "ndim", None) == 3:
             return leaf  # already baked
         _, N = leaf.meta.shape

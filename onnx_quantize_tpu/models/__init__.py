@@ -14,9 +14,27 @@ from onnx_quantize_tpu.models.llama import (
     llama_config,
     load_llama_hf,
 )
+from onnx_quantize_tpu.models.moe import (
+    MIXTRAL_8X7B,
+    QWEN15_MOE_A27B,
+    MoE,
+    load_mixtral_hf,
+    load_qwen_moe_hf,
+    moe_config,
+    stack_moe_experts,
+    tiny_moe_config,
+)
 from onnx_quantize_tpu.models.transformer import TransformerConfig, TransformerLM
 
 __all__ = [
+    "MoE",
+    "moe_config",
+    "tiny_moe_config",
+    "stack_moe_experts",
+    "QWEN15_MOE_A27B",
+    "MIXTRAL_8X7B",
+    "load_qwen_moe_hf",
+    "load_mixtral_hf",
     "BertClassifier",
     "BertConfig",
     "Llama",

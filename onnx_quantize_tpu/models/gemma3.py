@@ -26,7 +26,10 @@ from onnx_quantize_tpu import nn
 from onnx_quantize_tpu.nn.layers import Embedding, RMSNorm, apply_rope
 from onnx_quantize_tpu.nn.module import Context, InputSpec
 
-__all__ = ["Gemma3Config", "Gemma3", "GEMMA3_270M", "GEMMA3_1B", "GEMMA3_4B"]
+__all__ = [
+    "Gemma3Config", "Gemma3", "Gemma3MoEMLP",
+    "GEMMA3_270M", "GEMMA3_1B", "GEMMA3_4B",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +65,19 @@ class Gemma3Config:
     rope_scaling: tuple | None = None
     # Qwen-2 convention: q/k/v projections carry biases (Gemma/Llama do not).
     attn_bias: bool = False
+    # Mixture-of-Experts (Mixtral/Qwen-MoE convention; models/moe.py).
+    # num_experts == 0 keeps the dense MLP. When > 0 the block's MLP becomes
+    # a Gemma3MoEMLP: softmax router + top-k expert selection, every expert a
+    # full gate/up/down Linear-site trio the quantizer targets.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int | None = None  # None -> intermediate_size
+    # Qwen-MoE shared expert: a dense MLP of this intermediate size applied to
+    # every token, sigmoid-gated by a (hidden, 1) projection. 0 disables.
+    shared_expert_size: int = 0
+    # Renormalize the top-k routing probabilities to sum to 1 (Mixtral: True;
+    # Qwen1.5-MoE: False).
+    norm_topk_prob: bool = True
 
     def is_global_layer(self, idx: int) -> bool:
         return (idx + 1) % self.sliding_pattern == 0
@@ -310,12 +326,171 @@ class Gemma3MLP(nn.Module):
         return self.down_proj(params["down_proj"], act, ctx=ctx)
 
 
+def _expert_slice(site: dict, e: int) -> dict:
+    """Per-expert view of a stacked site dict (leading axis = local expert)."""
+    out = {}
+    for key, leaf in site.items():
+        if isinstance(leaf, nn.QTensor):
+            children, meta = leaf.tree_flatten()
+            children = tuple(None if c is None else c[e] for c in children)
+            out[key] = nn.QTensor.tree_unflatten(meta, children)
+        elif leaf is None:
+            out[key] = None
+        else:
+            out[key] = leaf[e]
+    return out
+
+
+class Gemma3MoEMLP(nn.Module):
+    """Sparse Mixture-of-Experts MLP (Mixtral / Qwen-MoE convention).
+
+    Routing: softmax over the router logits, top-k expert selection, optional
+    renormalization of the selected probabilities (``cfg.norm_topk_prob``).
+    Every expert is a full :class:`Gemma3MLP`, so each expert projection is an
+    ordinary Linear site the quantizer targets (the reference quantizes every
+    MatMul site it finds — MoE experts are just more of them), and the router
+    itself is a (tiny) MatMul site usually excluded via ``ignore``.
+
+    Execution is the TPU-idiomatic *dense-masked* scheme: each expert runs
+    over the full token set with unrouted rows zeroed, outputs combine with
+    the routing weights. At decode (the memory-bound phase) this is
+    bandwidth-optimal — all resident expert weights stream from HBM once per
+    step regardless of routing, which is the physics of batched MoE decode
+    anyway — and it is exact: zeroed rows produce zeroed expert outputs
+    (act(0) * 0 == 0 through the gated MLP) that the combine weights ignore.
+    Zeroing the rows (rather than only zero-weighting the outputs) also makes
+    the per-expert activation taps calibration-exact: GPTQ Hessians (X^T X),
+    SmoothQuant channel maxima, and AWQ means see only the tokens actually
+    routed to that expert.
+
+    Two parameter layouts:
+
+    * quantization/oracle layout — per-expert subtrees ``experts.{e}`` (what
+      ``init`` builds and ``quantize`` transforms),
+    * engine layout — ``_stacked_experts`` site dicts with a leading local-
+      expert axis (built by :func:`onnx_quantize_tpu.models.moe.stack_moe_experts`
+      after fusion/scale-baking). Stacking is what makes expert parallelism a
+      plain ``PartitionSpec``: the leading axis shards over the model mesh
+      axis, each device loops its local experts, and ONE psum combines
+      (``ep_axis`` is set by ``tp_localize``).
+    """
+
+    def __init__(self, cfg: Gemma3Config):
+        super().__init__()
+        self.cfg = cfg
+        dt = cfg.jnp_dtype
+        self.activation = cfg.mlp_activation
+        expert_cfg = dataclasses.replace(
+            cfg, intermediate_size=cfg.moe_intermediate_size or cfg.intermediate_size
+        )
+        self.router = nn.Linear(cfg.hidden_size, cfg.num_experts, use_bias=False, dtype=dt)
+        self.experts: list[Gemma3MLP] = []
+        for e in range(cfg.num_experts):
+            mlp = Gemma3MLP(expert_cfg)
+            setattr(self, f"experts.{e}", mlp)
+            self.experts.append(mlp)
+        if cfg.shared_expert_size:
+            shared_cfg = dataclasses.replace(
+                cfg, intermediate_size=cfg.shared_expert_size
+            )
+            self.shared = Gemma3MLP(shared_cfg)
+            self.shared_gate = nn.Linear(cfg.hidden_size, 1, use_bias=False, dtype=dt)
+        # Expert parallelism marker (set by tp_localize): psum the combined
+        # expert outputs over this axis; the local expert count is the stacked
+        # leading dim and the global expert index offset is axis_index * local.
+        self.ep_axis: str | None = None
+
+    def _routing(self, params, x, ctx):
+        cfg = self.cfg
+        logits = self.router(params["router"], x, ctx=ctx).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_p, top_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+        if cfg.norm_topk_prob:
+            top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+        # (..., E) combine weights: routing prob where selected, else 0.
+        combine = jnp.sum(
+            jax.nn.one_hot(top_i, cfg.num_experts, dtype=jnp.float32)
+            * top_p[..., None],
+            axis=-2,
+        )
+        return combine
+
+    def _apply_site(self, site: dict, x):
+        """Linear-site semantics on a sliced stacked entry (engine layout)."""
+        from onnx_quantize_tpu.ops import quantized_matmul
+
+        dt = x.dtype
+        prescale = site.get("prescale")
+        if prescale is not None:
+            x = (x * prescale).astype(dt)
+        w = site["w"]
+        if isinstance(w, nn.QTensor):
+            y = quantized_matmul(x, w)
+        else:
+            y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+        return y.astype(dt)
+
+    def _expert_stacked(self, stacked: dict, e: int, x):
+        if "gate_up" in stacked:
+            gu = self._apply_site(_expert_slice(stacked["gate_up"], e), x)
+            n = gu.shape[-1] // 2
+            gate, up = gu[..., :n], gu[..., n:]
+        else:
+            gate = self._apply_site(_expert_slice(stacked["gate"], e), x)
+            up = self._apply_site(_expert_slice(stacked["up"], e), x)
+        if self.activation == "silu":
+            act = jax.nn.silu(gate) * up
+        else:
+            act = jax.nn.gelu(gate, approximate=True) * up
+        return self._apply_site(_expert_slice(stacked["down"], e), act)
+
+    def __call__(self, params, x, ctx: Context | None = None):
+        cfg = self.cfg
+        combine = self._routing(params, x, ctx)  # (..., E) f32
+        out = jnp.zeros(x.shape[:-1] + (cfg.hidden_size,), jnp.float32)
+        stacked = params.get("_stacked_experts")
+        if stacked is not None:
+            down_w = stacked["down"]["w"]
+            n_local = (
+                down_w.data.shape[0] if isinstance(down_w, nn.QTensor)
+                else down_w.shape[0]
+            )
+            base = (
+                jax.lax.axis_index(self.ep_axis) * n_local
+                if self.ep_axis is not None else 0
+            )
+            for e in range(n_local):
+                w_e = jax.lax.dynamic_index_in_dim(
+                    combine, base + e, axis=-1, keepdims=False
+                )
+                xe = x * (w_e > 0).astype(x.dtype)[..., None]
+                ye = self._expert_stacked(stacked, e, xe)
+                out = out + ye.astype(jnp.float32) * w_e[..., None]
+            if self.ep_axis is not None:
+                out = jax.lax.psum(out, self.ep_axis)
+        else:
+            for e in range(cfg.num_experts):
+                w_e = combine[..., e]
+                xe = x * (w_e > 0).astype(x.dtype)[..., None]
+                ye = self.experts[e](params[f"experts.{e}"], xe, ctx=ctx)
+                out = out + ye.astype(jnp.float32) * w_e[..., None]
+        out = out.astype(x.dtype)
+        if cfg.shared_expert_size:
+            gate = self.shared_gate(params["shared_gate"], x, ctx=ctx)
+            shared = self.shared(params["shared"], x, ctx=ctx)
+            out = out + (
+                jax.nn.sigmoid(gate.astype(jnp.float32))
+                * shared.astype(jnp.float32)
+            ).astype(x.dtype)
+        return out
+
+
 class Gemma3Block(nn.Module):
     def __init__(self, cfg: Gemma3Config, layer_idx: int):
         super().__init__()
         dt = cfg.jnp_dtype
         self.attn = Gemma3Attention(cfg, layer_idx)
-        self.mlp = Gemma3MLP(cfg)
+        self.mlp = Gemma3MoEMLP(cfg) if cfg.num_experts > 0 else Gemma3MLP(cfg)
         one_plus = cfg.rms_one_plus
         self.sandwich = cfg.sandwich_norms
         self.input_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=dt,
@@ -374,12 +549,19 @@ def fuse_gemma3_projections(params: dict) -> dict:
                 del attn[key]
         mlp = layer.get("mlp")
         if mlp is not None:
-            duo = [mlp.get("gate_proj"), mlp.get("up_proj")]
-            if all(duo) and can_fuse(duo):
-                fused, _ = fuse_sites(duo)
-                mlp["_fused_gate_up"] = {"w": fused}
-                for key in ("gate_proj", "up_proj"):
-                    del mlp[key]
+            # Dense MLP, every MoE expert, and the MoE shared expert all carry
+            # the same gate/up pair — fuse each independently.
+            subs = [mlp] + [
+                v for k, v in mlp.items()
+                if isinstance(v, dict) and (k.startswith("experts.") or k == "shared")
+            ]
+            for sub in subs:
+                duo = [sub.get("gate_proj"), sub.get("up_proj")]
+                if all(duo) and can_fuse(duo):
+                    fused, _ = fuse_sites(duo)
+                    sub["_fused_gate_up"] = {"w": fused}
+                    for key in ("gate_proj", "up_proj"):
+                        del sub[key]
     return params
 
 
@@ -501,9 +683,23 @@ class Gemma3(nn.Module):
             cfg, num_heads=cfg.num_heads // tp, num_kv_heads=local_kv,
         )
         local = Gemma3(local_cfg)
+        moe = cfg.num_experts > 0
+        if moe and cfg.num_experts % tp != 0:
+            raise ValueError(
+                f"num_experts={cfg.num_experts} not divisible by tp={tp}"
+            )
         for block in local.blocks:
             block.attn.o_proj.tp_reduce = axis
-            block.mlp.down_proj.tp_reduce = axis
+            if moe:
+                # Expert parallelism: stacked experts shard their leading
+                # axis over `axis` (see stack_moe_experts); each device
+                # computes its local experts and ONE psum combines. The
+                # shared expert runs Megatron column->row TP like a dense MLP.
+                block.mlp.ep_axis = axis
+                if cfg.shared_expert_size:
+                    block.mlp.shared.down_proj.tp_reduce = axis
+            else:
+                block.mlp.down_proj.tp_reduce = axis
             if kv_sliced:
                 block.attn.kv_proj_heads = cfg.num_kv_heads
                 block.attn.kv_slice = (axis, tp // cfg.num_kv_heads)
@@ -522,13 +718,33 @@ class Gemma3(nn.Module):
                      (cfg.intermediate_size, "column")))
         rules = [
             (r"\.attn\._fused_qkv$", qkv_fused),
-            (r"\.mlp\._fused_gate_up$", gu_fused),
             (r"\.attn\.q_proj$", "column"),
             (r"\.attn\.(k_proj|v_proj)$", kv_kind),
             (r"\.attn\.o_proj$", "row"),
-            (r"\.mlp\.(gate_proj|up_proj)$", "column"),
-            (r"\.mlp\.down_proj$", "row"),
             (r"^lm_head$", "column"),
             (r"^embed$", "vocab"),
         ]
+        if moe:
+            shared_fused = ("fused_column",
+                            ((cfg.shared_expert_size, "column"),
+                             (cfg.shared_expert_size, "column")))
+            rules += [
+                # Stacked experts shard the leading (expert) axis; the router,
+                # the shared-expert gate, and any UNstacked per-expert
+                # subtrees replicate (replicated experts need no collective —
+                # every device computes the identical full combine).
+                (r"\.mlp\._stacked_experts", "expert"),
+                (r"\.mlp\.router$", "replicate"),
+                (r"\.mlp\.shared_gate$", "replicate"),
+                (r"\.mlp\.shared\._fused_gate_up$", shared_fused),
+                (r"\.mlp\.shared\.(gate_proj|up_proj)$", "column"),
+                (r"\.mlp\.shared\.down_proj$", "row"),
+                (r"\.mlp\.experts\.", "replicate"),
+            ]
+        else:
+            rules += [
+                (r"\.mlp\._fused_gate_up$", gu_fused),
+                (r"\.mlp\.(gate_proj|up_proj)$", "column"),
+                (r"\.mlp\.down_proj$", "row"),
+            ]
         return local, rules

@@ -147,6 +147,23 @@ def localize_meta(meta: QTensorMeta, tp: int, kind: str) -> QTensorMeta:
 
 def _qtensor_spec(qt: QTensor, kind: str, axis: str) -> QTensor:
     """A QTensor whose children are PartitionSpecs (shard_map in_specs node)."""
+    if kind == "expert":
+        # Stacked MoE expert weights: EVERY array child carries a leading
+        # local-expert axis (data, scale, zp, and any stacked act qparams) —
+        # shard them all over the model axis; per-expert slices stay whole.
+        spec = P(axis)
+
+        def ch(x):
+            return None if x is None else spec
+
+        return QTensor(
+            data=spec, scale=ch(qt.scale), zero_point=ch(qt.zero_point),
+            meta=qt.meta,
+            input_scale=ch(qt.input_scale),
+            input_zero_point=ch(qt.input_zero_point),
+            output_scale=ch(qt.output_scale),
+            output_zero_point=ch(qt.output_zero_point),
+        )
     if kind == "column":
         wspec = P(None, axis)
         sspec = P() if qt.scale.ndim == 0 else (
@@ -238,6 +255,10 @@ def build_param_specs(params: dict, rules, axis: str = "model"):
         if isinstance(tree, QBias):
             spec = P(axis) if kind == "column" else P()
             return QBias(data=spec, scale=P(), zero_point=P(), quant_type=tree.quant_type)
+        if kind == "expert":
+            # Stacked expert site leaves ("w"/"prescale" with a leading local-
+            # expert axis) shard that axis.
+            return P(axis)
         if leaf_key == "w" and getattr(tree, "ndim", 0) == 2:
             if kind == "column":
                 return P(None, axis)
