@@ -4,6 +4,11 @@ from onnx_quantize_tpu.parallel.sharding import (
     qtensor_shardings,
     shard_params,
 )
+from onnx_quantize_tpu.parallel.pp import (
+    make_pipeline_mesh,
+    pipeline_stage_params,
+    pp_logits,
+)
 from onnx_quantize_tpu.parallel.tp import (
     build_param_specs,
     localize_params,
@@ -11,6 +16,9 @@ from onnx_quantize_tpu.parallel.tp import (
 )
 
 __all__ = [
+    "make_pipeline_mesh",
+    "pipeline_stage_params",
+    "pp_logits",
     "make_mesh",
     "data_sharding",
     "replicated",
