@@ -33,6 +33,7 @@ def _build(model_cfg, quantized: bool, cpu_device, head: str = "int8"):
     from onnx_quantize_tpu.models.gemma3 import fuse_gemma3_projections
 
     model = Gemma3(model_cfg)
+    moe = model_cfg.num_experts > 0
     with jax.default_device(cpu_device):
         params = model.init(jax.random.key(0))
         if quantized:
@@ -44,7 +45,7 @@ def _build(model_cfg, quantized: bool, cpu_device, head: str = "int8"):
             # amortizes (BENCH.md round 2 cont., +2.5% end-to-end).
             qconfig = oqt.QConfig(
                 weights=oqt.QWeightArgs(dtype="uint4", group_size=128),
-                ignore=["lm_head"],
+                ignore=["lm_head"] + ([r"\.router$"] if moe else []),
             )
             params, _ = oqt.quantize(model, params, qconfig)
             if head == "w4":
@@ -62,6 +63,14 @@ def _build(model_cfg, quantized: bool, cpu_device, head: str = "int8"):
         # Horizontal q/k/v + gate/up fusion halves the per-step launch count
         # (applied to baseline and quantized alike).
         params = fuse_gemma3_projections(params)
+        if moe:
+            # Engine layout: concatenated experts — ONE fat-N gate_up + ONE
+            # deep-K down per layer (combine folded into the accumulator),
+            # the W4 kernel's best regimes (scripts/tpu_probe_moe.py).
+            from onnx_quantize_tpu.engine import prepare_kernel_scales
+            from onnx_quantize_tpu.models.moe import fuse_moe_experts
+
+            params = fuse_moe_experts(prepare_kernel_scales(params))
     return model, params
 
 
@@ -162,7 +171,22 @@ def main():
     if on_accel:
         from onnx_quantize_tpu.models.gemma3 import GEMMA3_4B
 
-        base = {"1b": GEMMA3_1B, "4b": GEMMA3_4B}.get(model_name, GEMMA3_270M)
+        if model_name == "moe":
+            # Mixtral-convention 8x top-2 MoE (~1.2B params, ~0.36B active):
+            # per decode step ALL resident expert weights stream from HBM
+            # regardless of routing, so weight bytes dominate the step even
+            # harder than dense — the regime where quantization pays most.
+            from onnx_quantize_tpu.models.moe import moe_config
+
+            base = moe_config(
+                num_experts=8, num_experts_per_tok=2,
+                moe_intermediate_size=2816, shared_expert_size=0,
+                norm_topk_prob=True, vocab_size=32_768, hidden_size=1024,
+                intermediate_size=2816, num_layers=16, num_heads=8,
+                num_kv_heads=2, head_dim=128, rope_theta=1_000_000.0,
+            )
+        else:
+            base = {"1b": GEMMA3_1B, "4b": GEMMA3_4B}.get(model_name, GEMMA3_270M)
         cfg = dataclasses.replace(base, dtype="bfloat16")
         # B=32: decode on this runtime is per-step-cost bound, so throughput
         # scales with batch until memory pressure (see BENCH.md).
@@ -194,7 +218,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"gemma3_{model_name}_w4g128_decode_tokens_per_sec_per_chip",
+                "metric": (
+                    "moe_8x2816_top2_w4g128_decode_tokens_per_sec_per_chip"
+                    if model_name == "moe"
+                    else f"gemma3_{model_name}_w4g128_decode_tokens_per_sec_per_chip"
+                ),
                 "value": round(tput_q, 1),
                 "unit": "tokens/s",
                 "vs_baseline": round(tput_q / tput_f, 3),

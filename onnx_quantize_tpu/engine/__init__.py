@@ -1,4 +1,4 @@
-from onnx_quantize_tpu.engine.engine import InferenceEngine
+from onnx_quantize_tpu.engine.engine import InferenceEngine, prepare_kernel_scales
 from onnx_quantize_tpu.engine.kv_cache import KVCacheConfig, init_cache, read_kv, write_kv
 from onnx_quantize_tpu.engine.sampling import SamplingParams, sample
 from onnx_quantize_tpu.engine.scheduler import ContinuousBatchingScheduler, Request
@@ -7,6 +7,7 @@ from onnx_quantize_tpu.engine.speculative import SpeculativeDecoder
 __all__ = [
     "SpeculativeDecoder",
     "InferenceEngine",
+    "prepare_kernel_scales",
     "KVCacheConfig",
     "init_cache",
     "read_kv",

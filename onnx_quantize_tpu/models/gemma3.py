@@ -399,6 +399,89 @@ class Gemma3MoEMLP(nn.Module):
         # expert outputs over this axis; the local expert count is the stacked
         # leading dim and the global expert index offset is axis_index * local.
         self.ep_axis: str | None = None
+        # Prefill dispatch: at large M the dense-masked scheme pays E/top_k x
+        # the routed MLP FLOPs (fine at decode where bytes dominate; waste in
+        # the compute-bound prefill regime). "auto" switches to the sorted
+        # ragged_dot path (compute proportional to routed tokens) on TPU at
+        # M >= 128 — the same phase boundary as the W4 kernel's M-routing.
+        self.use_ragged_prefill: bool | str = "auto"
+
+    def _ragged_ok(self, stacked, M: int) -> bool:
+        mode = self.use_ragged_prefill
+        if mode is False or stacked is None or self.ep_axis is not None:
+            return False
+        if mode is True:
+            return True
+        return M >= 128 and jax.default_backend() == "tpu"
+
+    @staticmethod
+    def _dense_stack(site: dict, dtype):
+        """Stacked site -> dense (E, K, N) weights in the stream dtype (the
+        dequantize-once trade of the prefill regime, matching the W4 kernel's
+        M-routing: exact nibbles, bf16-rounded weights under a bf16 stream)."""
+        from onnx_quantize_tpu.ops.reference import dequantize_weight
+
+        w = site["w"]
+        if isinstance(w, nn.QTensor):
+            n_local = w.data.shape[0]
+            dense = [dequantize_weight(_expert_slice(site, e)["w"])
+                     for e in range(n_local)]
+            return jnp.stack(dense).astype(dtype)
+        return w.astype(dtype)
+
+    def _experts_ragged(self, stacked: dict, x, top_p, top_i):
+        """Sorted grouped-matmul expert execution (exact routing, compute
+        proportional to routed tokens): flatten the (token, choice) pairs,
+        sort by expert, one ``lax.ragged_dot`` per projection against the
+        stacked expert weights, scatter-add back with the routing weights."""
+        cfg = self.cfg
+        orig_shape = x.shape
+        d = orig_shape[-1]
+        M = int(np.prod(orig_shape[:-1]))
+        k = cfg.num_experts_per_tok
+        x2 = x.reshape(M, d)
+        flat_e = top_i.reshape(-1)
+        flat_w = top_p.reshape(-1)
+        tok = jnp.repeat(jnp.arange(M, dtype=jnp.int32), k)
+        order = jnp.argsort(flat_e, stable=True)
+        st, sw = tok[order], flat_w[order]
+        xs = x2[st]
+        group_sizes = jnp.bincount(flat_e, length=cfg.num_experts)
+
+        def prescaled(site, xin):
+            ps = site.get("prescale")
+            if ps is None:
+                return xin
+            se = flat_e[order]
+            return (xin * ps[se]).astype(xin.dtype)
+
+        if "gate_up" in stacked:
+            w_gu = self._dense_stack(stacked["gate_up"], x.dtype)
+            gu = jax.lax.ragged_dot(
+                prescaled(stacked["gate_up"], xs), w_gu, group_sizes
+            ).astype(x.dtype)
+            n = gu.shape[-1] // 2
+            gate, up = gu[..., :n], gu[..., n:]
+        else:
+            w_g = self._dense_stack(stacked["gate"], x.dtype)
+            w_u = self._dense_stack(stacked["up"], x.dtype)
+            gate = jax.lax.ragged_dot(
+                prescaled(stacked["gate"], xs), w_g, group_sizes
+            ).astype(x.dtype)
+            up = jax.lax.ragged_dot(
+                prescaled(stacked["up"], xs), w_u, group_sizes
+            ).astype(x.dtype)
+        if self.activation == "silu":
+            act = jax.nn.silu(gate) * up
+        else:
+            act = jax.nn.gelu(gate, approximate=True) * up
+        w_d = self._dense_stack(stacked["down"], x.dtype)
+        ys = jax.lax.ragged_dot(
+            prescaled(stacked["down"], act), w_d, group_sizes
+        )
+        out = jnp.zeros((M, d), jnp.float32)
+        out = out.at[st].add(ys.astype(jnp.float32) * sw[..., None])
+        return out.reshape(orig_shape[:-1] + (d,))
 
     def _routing(self, params, x, ctx):
         cfg = self.cfg
@@ -407,13 +490,16 @@ class Gemma3MoEMLP(nn.Module):
         top_p, top_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)
         if cfg.norm_topk_prob:
             top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
-        # (..., E) combine weights: routing prob where selected, else 0.
-        combine = jnp.sum(
-            jax.nn.one_hot(top_i, cfg.num_experts, dtype=jnp.float32)
+        return top_p, top_i
+
+    @staticmethod
+    def _combine_weights(top_p, top_i, num_experts):
+        """(..., E) combine weights: routing prob where selected, else 0."""
+        return jnp.sum(
+            jax.nn.one_hot(top_i, num_experts, dtype=jnp.float32)
             * top_p[..., None],
             axis=-2,
         )
-        return combine
 
     def _apply_site(self, site: dict, x):
         """Linear-site semantics on a sliced stacked entry (engine layout)."""
@@ -444,11 +530,69 @@ class Gemma3MoEMLP(nn.Module):
             act = jax.nn.gelu(gate, approximate=True) * up
         return self._apply_site(_expert_slice(stacked["down"], e), act)
 
+    def _experts_fused(self, fused: dict, x, combine):
+        """Two-matmul expert execution (the decode-fast layout, see
+        ``models.moe.fuse_moe_experts``): one fat-N gate_up over the expert
+        concat, routing weights folded into the activation segments, one
+        deep-K down whose accumulator performs the combine sum. Under EP the
+        two sites are exactly the Megatron column->row pair and the psum is
+        the cross-device combine."""
+        cfg = self.cfg
+        inter = cfg.moe_intermediate_size or cfg.intermediate_size
+        gu = self._apply_site(fused["gate_up"], x)  # (..., E_local*2I)
+        n_local = gu.shape[-1] // (2 * inter)
+        if self.ep_axis is not None:
+            base = jax.lax.axis_index(self.ep_axis) * n_local
+            seg = jax.lax.dynamic_slice_in_dim(combine, base, n_local, axis=-1)
+        else:
+            seg = combine
+        gu = gu.reshape(*gu.shape[:-1], n_local, 2 * inter)
+        gate, up = gu[..., :inter], gu[..., inter:]
+        if self.activation == "silu":
+            act = jax.nn.silu(gate) * up
+        else:
+            act = jax.nn.gelu(gate, approximate=True) * up
+        act = act * seg[..., None].astype(act.dtype)
+        act = act.reshape(*x.shape[:-1], n_local * inter)
+        out = self._apply_site(fused["down"], act)
+        if self.ep_axis is not None:
+            out = jax.lax.psum(out.astype(jnp.float32), self.ep_axis)
+        return out.astype(x.dtype)
+
+    @staticmethod
+    def _fused_to_stacked_dense(fused: dict, inter: int):
+        """Per-expert dense views of the concatenated layout (ragged path)."""
+        from onnx_quantize_tpu.ops.reference import dequantize_weight
+
+        def dense(site):
+            w = site["w"]
+            return dequantize_weight(w) if isinstance(w, nn.QTensor) else w
+
+        gu = dense(fused["gate_up"])  # (K, E*2I)
+        K = gu.shape[0]
+        gu = gu.reshape(K, -1, 2 * inter).transpose(1, 0, 2)  # (E, K, 2I)
+        dn = dense(fused["down"])  # (E*I, d)
+        dn = dn.reshape(-1, inter, dn.shape[-1])  # (E, I, d)
+        return {"gate_up": {"w": gu}, "down": {"w": dn}}
+
     def __call__(self, params, x, ctx: Context | None = None):
         cfg = self.cfg
-        combine = self._routing(params, x, ctx)  # (..., E) f32
-        out = jnp.zeros(x.shape[:-1] + (cfg.hidden_size,), jnp.float32)
+        top_p, top_i = self._routing(params, x, ctx)
         stacked = params.get("_stacked_experts")
+        fused = params.get("_fused_experts")
+        ragged_src = stacked if stacked is not None else fused
+        if self._ragged_ok(ragged_src, int(np.prod(x.shape[:-1]))):
+            if stacked is None:
+                inter = cfg.moe_intermediate_size or cfg.intermediate_size
+                ragged_src = self._fused_to_stacked_dense(fused, inter)
+            out = self._experts_ragged(ragged_src, x, top_p, top_i)
+            out = out.astype(x.dtype)
+            return self._shared_out(params, x, out, ctx)
+        combine = self._combine_weights(top_p, top_i, cfg.num_experts)  # f32
+        if fused is not None:
+            out = self._experts_fused(fused, x, combine)
+            return self._shared_out(params, x, out, ctx)
+        out = jnp.zeros(x.shape[:-1] + (cfg.hidden_size,), jnp.float32)
         if stacked is not None:
             down_w = stacked["down"]["w"]
             n_local = (
@@ -475,7 +619,10 @@ class Gemma3MoEMLP(nn.Module):
                 ye = self.experts[e](params[f"experts.{e}"], xe, ctx=ctx)
                 out = out + ye.astype(jnp.float32) * w_e[..., None]
         out = out.astype(x.dtype)
-        if cfg.shared_expert_size:
+        return self._shared_out(params, x, out, ctx)
+
+    def _shared_out(self, params, x, out, ctx):
+        if self.cfg.shared_expert_size:
             gate = self.shared_gate(params["shared_gate"], x, ctx=ctx)
             shared = self.shared(params["shared"], x, ctx=ctx)
             out = out + (
@@ -729,6 +876,12 @@ class Gemma3(nn.Module):
                             ((cfg.shared_expert_size, "column"),
                              (cfg.shared_expert_size, "column")))
             rules += [
+                # Concatenated experts (fuse_moe_experts) ARE the Megatron
+                # pair: gate_up column-shards N (expert-aligned chunks), down
+                # row-shards K, and the psum in _experts_fused is the
+                # cross-device combine.
+                (r"\.mlp\._fused_experts\.gate_up$", "column"),
+                (r"\.mlp\._fused_experts\.down$", "row"),
                 # Stacked experts shard the leading (expert) axis; the router,
                 # the shared-expert gate, and any UNstacked per-expert
                 # subtrees replicate (replicated experts need no collective —

@@ -31,6 +31,7 @@ logger = get_logger(__name__)
 
 __all__ = [
     "moe_config", "MoE", "tiny_moe_config", "stack_moe_experts",
+    "fuse_moe_experts",
     "QWEN15_MOE_A27B", "MIXTRAL_8X7B", "load_qwen_moe_hf", "load_mixtral_hf",
 ]
 
@@ -174,6 +175,136 @@ def stack_moe_experts(params: dict) -> dict:
         for k in expert_keys:
             del mlp[k]
         mlp["_stacked_experts"] = stacked
+    return params
+
+
+# ── engine layout: expert concatenation (the decode-fast layout) ────────────
+
+def _concat_k_sites(sites: list[dict]) -> dict:
+    """Concatenate per-expert down-projections along K (rows).
+
+    Valid because the routing weight folds into each expert's activation
+    BEFORE the matmul (``down`` is linear), so one deep-K matmul computes the
+    weighted sum over experts inside its accumulator. GROUP-quantized only:
+    group scales concatenate along the group axis; each expert's K must hold
+    an even number of groups so the pair packing stays aligned.
+    """
+    import dataclasses
+
+    leaves = [s["w"] for s in sites]
+    if any(set(s) - {"w"} for s in sites):
+        raise ValueError("K-concat sites must be bare weights (no bias/prescale)")
+    if not isinstance(leaves[0], QTensor):
+        if any(isinstance(w, QTensor) for w in leaves):
+            raise ValueError("experts mix quantized and fp weights")
+        return {"w": np.concatenate([np.asarray(w) for w in leaves], axis=0)}
+    first = leaves[0]
+    for qt in leaves[1:]:
+        if not isinstance(qt, QTensor) or qt.meta != first.meta:
+            raise ValueError("experts must be quantized identically to concat")
+    if first.meta.strat.value != "group":
+        raise ValueError(
+            "expert K-concat requires GROUP strategy (channel/tensor scales "
+            "cannot concatenate along K)"
+        )
+    if first.meta.packed:
+        gs = first.meta.pack_group
+        K_e = first.meta.shape[0]
+        if K_e % gs != 0 or (K_e // gs) % 2 != 0:
+            raise ValueError(
+                f"expert K={K_e} must be an even multiple of group_size={gs} "
+                "for pair-aligned K-concat"
+            )
+    for attr in ("input_scale", "input_zero_point"):
+        vals = [getattr(w, attr) for w in leaves]
+        if any(v is not None for v in vals):
+            arrs = [np.asarray(v) for v in vals]
+            if any(not np.allclose(arrs[0], a) for a in arrs[1:]):
+                raise ValueError(
+                    "per-expert static input scales differ; K-concat would "
+                    "merge their quantization grids"
+                )
+
+    def cat0(vals):
+        if vals[0] is None:
+            return None
+        return np.concatenate([np.asarray(v) for v in vals], axis=0)
+
+    K_total = sum(w.meta.shape[0] for w in leaves)
+    meta = dataclasses.replace(first.meta, shape=(K_total, first.meta.shape[1]))
+    return {"w": QTensor(
+        data=cat0([w.data for w in leaves]),
+        scale=cat0([w.scale for w in leaves]),
+        zero_point=cat0([w.zero_point for w in leaves]),
+        meta=meta,
+        input_scale=first.input_scale,
+        input_zero_point=first.input_zero_point,
+        output_scale=None,
+        output_zero_point=None,
+    )}
+
+
+def fuse_moe_experts(params: dict) -> dict:
+    """Engine-load transform: concatenate ALL experts into TWO matmul sites.
+
+    The dense-masked per-expert loop runs 2E small kernels per layer; on
+    decode shapes those sit at the W4 kernel's small-shape floor (243-373
+    GB/s measured, scripts/tpu_probe_moe.py). Concatenation moves both ops
+    into the kernel's best regimes with 2 launches total:
+
+      * ``gate_up``: per-expert fused [gate|up] blocks concatenate along N
+        (all experts share the input) -> one fat-N matmul,
+      * ``down``: expert blocks concatenate along K and the routing weight
+        folds into each expert's activation segment -> one deep-K matmul
+        whose accumulator performs the combine sum.
+
+    Under expert parallelism this layout IS the Megatron column->row pair:
+    the gate_up N-shard and down K-shard are expert-aligned, and the down
+    psum is the cross-device combine.
+
+    Requires ``fuse_gemma3_projections`` first (per-expert gate/up fused) and
+    no per-expert prescales/biases; layers not meeting that keep their
+    per-expert subtrees (the loop path). Apply after
+    ``engine.prepare_kernel_scales`` on the single-chip path (concat keeps
+    the baked layout).
+    """
+    from onnx_quantize_tpu.nn.fuse import fuse_sites
+    from onnx_quantize_tpu.utils import copy_tree
+
+    params = copy_tree(params)
+    for name, layer in params.items():
+        if not (isinstance(layer, dict) and "attn" in layer):
+            continue
+        mlp = layer.get("mlp")
+        if not isinstance(mlp, dict):
+            continue
+        expert_keys = sorted(
+            (k for k in mlp if k.startswith("experts.")),
+            key=lambda s: int(s.split(".", 1)[1]),
+        )
+        if not expert_keys:
+            continue
+        subs = [mlp[k] for k in expert_keys]
+        if any(set(s) != {"_fused_gate_up", "down_proj"} for s in subs):
+            logger.debug(
+                "%s: experts not in fused gate_up+down form; keeping the "
+                "per-expert loop layout", name,
+            )
+            continue
+        try:
+            from onnx_quantize_tpu.nn.fuse import can_fuse
+
+            gu_sites = [s["_fused_gate_up"] for s in subs]
+            if not can_fuse(gu_sites):
+                raise ValueError("per-expert gate_up sites not fuse-compatible")
+            gate_up, _ = fuse_sites(gu_sites)
+            down = _concat_k_sites([s["down_proj"] for s in subs])
+        except ValueError as exc:
+            logger.debug("%s: expert concat not applicable (%s)", name, exc)
+            continue
+        for k in expert_keys:
+            del mlp[k]
+        mlp["_fused_experts"] = {"gate_up": {"w": gate_up}, "down": down}
     return params
 
 

@@ -16,6 +16,7 @@ import pytest
 import onnx_quantize_tpu as oqt
 from onnx_quantize_tpu.models.gemma3 import Gemma3, fuse_gemma3_projections
 from onnx_quantize_tpu.models.moe import (
+    fuse_moe_experts,
     stack_moe_experts,
     tiny_moe_config,
 )
@@ -165,6 +166,88 @@ class TestQuantizeAndStack:
             np.asarray(model(stacked, ids)), base, atol=1e-6
         )
 
+    def test_fused_experts_layout_matches_loop(self, rng):
+        """The concatenated-experts layout (one fat-N gate_up + one deep-K
+        down with the combine folded into the accumulator) must match the
+        per-expert loop within f32 reduction-order tolerance."""
+        cfg, model, params = _model(shared_expert_size=48)
+        qc = oqt.QConfig(
+            weights=oqt.QWeightArgs(dtype="uint4", group_size=16),
+            ignore=[r"\.router$", r"\.shared_gate$"],
+        )
+        qparams, _ = oqt.quantize(model, params, qc)
+        gfused = fuse_gemma3_projections(qparams)
+        ids = _ids(rng)
+        base = np.asarray(model(gfused, ids))
+        efused = fuse_moe_experts(gfused)
+        mlp = efused["layers.0"]["mlp"]
+        assert "_fused_experts" in mlp and "experts.0" not in mlp
+        gu = mlp["_fused_experts"]["gate_up"]["w"]
+        dn = mlp["_fused_experts"]["down"]["w"]
+        inter = cfg.moe_intermediate_size
+        assert gu.meta.shape == (cfg.hidden_size, cfg.num_experts * 2 * inter)
+        assert dn.meta.shape == (cfg.num_experts * inter, cfg.hidden_size)
+        out = np.asarray(model(efused, ids))
+        np.testing.assert_allclose(out, base, atol=1e-5, rtol=1e-5)
+
+    def test_fused_experts_fp(self, rng):
+        cfg, model, params = _model()
+        ids = _ids(rng)
+        base = np.asarray(model(params, ids))
+        efused = fuse_moe_experts(fuse_gemma3_projections(params))
+        np.testing.assert_allclose(
+            np.asarray(model(efused, ids)), base, atol=1e-5, rtol=1e-5
+        )
+
+    def test_fuse_experts_skipped_with_prescale(self, rng):
+        """AWQ prescales make per-expert gate/up unfusable; the transform
+        must leave the loop layout instead of mis-fusing."""
+        cfg, model, params = _model()
+        data = _ids(rng, batch=4, seq=8)
+        qc = oqt.QConfig(
+            weights=oqt.QWeightArgs(dtype="uint4", group_size=16),
+            preprocessors=[oqt.AwqConfig()],
+            ignore=[r"\.router$"],
+            calibration_data=data,
+            calibration_params=oqt.CalibrationParams(num_samples=4, batch_size=2),
+        )
+        qparams, _ = oqt.quantize(model, params, qc)
+        efused = fuse_moe_experts(fuse_gemma3_projections(qparams))
+        mlp = efused["layers.0"]["mlp"]
+        assert "_fused_experts" not in mlp
+        assert "experts.0" in mlp
+        ids = _ids(rng)
+        np.testing.assert_array_equal(
+            np.asarray(model(efused, ids)), np.asarray(model(qparams, ids))
+        )
+
+    def test_ragged_prefill_matches_loop(self, rng):
+        """The sorted ragged_dot path (exact routing, compute proportional
+        to routed tokens) matches the dense-masked loop — from both the
+        stacked and the concatenated layout."""
+        cfg, model, params = _model()
+        qc = oqt.QConfig(
+            weights=oqt.QWeightArgs(dtype="uint4", group_size=16),
+            ignore=[r"\.router$"],
+        )
+        qparams, _ = oqt.quantize(model, params, qc)
+        gfused = fuse_gemma3_projections(qparams)
+        ids = _ids(rng, batch=4, seq=16)
+        base = np.asarray(model(gfused, ids))
+        for layout in (stack_moe_experts, fuse_moe_experts):
+            tree = layout(gfused)
+            for block in model.blocks:
+                block.mlp.use_ragged_prefill = True
+            try:
+                out = np.asarray(model(tree, ids))
+            finally:
+                for block in model.blocks:
+                    block.mlp.use_ragged_prefill = "auto"
+            np.testing.assert_allclose(
+                out, base, atol=2e-5, rtol=2e-5,
+                err_msg=f"ragged path diverges for {layout.__name__}",
+            )
+
     def test_stack_rejects_mismatched_quantization(self, rng):
         cfg, model, params = _model()
         qc = oqt.QConfig(
@@ -191,7 +274,10 @@ class TestCalibrationTaps:
         mlp_module = model.blocks[0].mlp
         mlp_params = params["layers.0"]["mlp"]
         tapped_router = ctx.taps["layers.0.mlp.router"]["input"]
-        combine = np.asarray(mlp_module._routing(mlp_params, tapped_router, None))
+        top_p, top_i = mlp_module._routing(mlp_params, tapped_router, None)
+        combine = np.asarray(
+            mlp_module._combine_weights(top_p, top_i, cfg.num_experts)
+        )
         for e in range(cfg.num_experts):
             tap = np.asarray(
                 ctx.taps[f"layers.0.mlp.experts.{e}.gate_proj"]["input"]

@@ -14,11 +14,15 @@ import pytest
 import onnx_quantize_tpu as oqt
 from onnx_quantize_tpu.engine import ContinuousBatchingScheduler, InferenceEngine
 from onnx_quantize_tpu.models.gemma3 import Gemma3, fuse_gemma3_projections
-from onnx_quantize_tpu.models.moe import stack_moe_experts, tiny_moe_config
+from onnx_quantize_tpu.models.moe import (
+    fuse_moe_experts,
+    stack_moe_experts,
+    tiny_moe_config,
+)
 from onnx_quantize_tpu.parallel import make_mesh
 
 
-def _quantized_moe(shared: int = 128):
+def _quantized_moe(shared: int = 128, layout=stack_moe_experts):
     # head_dim=32 keeps row-parallel o_proj shards at an even group count up
     # to 4-way TP; experts (4) divide tp in {1, 2, 4}.
     cfg = tiny_moe_config(
@@ -32,12 +36,14 @@ def _quantized_moe(shared: int = 128):
         ignore=[r"\.router$", r"\.shared_gate$"],
     )
     qparams, _ = oqt.quantize(model, params, qc)
-    return model, stack_moe_experts(fuse_gemma3_projections(qparams))
+    return model, layout(fuse_gemma3_projections(qparams))
 
 
 @pytest.mark.parametrize("tp", [2, 4])
-def test_moe_ep_engine_matches_single_device(tp):
-    model, stacked = _quantized_moe()
+@pytest.mark.parametrize("layout", [stack_moe_experts, fuse_moe_experts],
+                         ids=["stacked", "fused"])
+def test_moe_ep_engine_matches_single_device(tp, layout):
+    model, stacked = _quantized_moe(layout=layout)
     ids = np.random.default_rng(0).integers(1, 256, size=(4, 8)).astype(np.int32)
     lengths = np.full((4,), 8, np.int32)
 
