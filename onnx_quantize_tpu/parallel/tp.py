@@ -164,15 +164,17 @@ def _qtensor_spec(qt: QTensor, kind: str, axis: str) -> QTensor:
             output_scale=ch(qt.output_scale),
             output_zero_point=ch(qt.output_zero_point),
         )
+    nd = getattr(qt.scale, "ndim", 0)
     if kind == "column":
         wspec = P(None, axis)
-        sspec = P() if qt.scale.ndim == 0 else (
-            P(axis) if qt.scale.ndim == 1 else P(None, axis)
-        )
+        # N is always the LAST scale axis — logical (N,)/(G, N) and the baked
+        # kernel layout (G_pad/2, 2, N) alike.
+        sspec = P() if nd == 0 else P(*([None] * (nd - 1)), axis)
     elif kind == "row":
         wspec = P(axis, None)
-        # grouped scales follow their K-groups; channel (N,) / tensor replicate
-        sspec = P(axis, None) if qt.scale.ndim == 2 else P()
+        # grouped scales follow their K-groups (leading axis in both the
+        # logical and baked layouts); channel (N,) / tensor replicate.
+        sspec = P(axis, *([None] * (nd - 1))) if nd >= 2 else P()
     else:
         wspec = P()
         sspec = P()

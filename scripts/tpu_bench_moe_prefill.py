@@ -13,9 +13,11 @@ Usage: python scripts/tpu_bench_moe_prefill.py
 """
 
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -26,7 +28,7 @@ def build(quantized: bool):
     import onnx_quantize_tpu as oqt
     from onnx_quantize_tpu.engine import prepare_kernel_scales
     from onnx_quantize_tpu.models.gemma3 import Gemma3, fuse_gemma3_projections
-    from onnx_quantize_tpu.models.moe import moe_config, stack_moe_experts
+    from onnx_quantize_tpu.models.moe import fuse_moe_experts, moe_config
 
     cfg = moe_config(
         num_experts=8, num_experts_per_tok=2, moe_intermediate_size=2816,
@@ -48,7 +50,7 @@ def build(quantized: bool):
                 oqt.QConfig(weights=oqt.QWeightArgs(dtype="int8", group_size=-1,
                                                     symmetric=True),
                             ignore=[r"^layers\.", r"^embed$"]))
-        params = stack_moe_experts(
+        params = fuse_moe_experts(
             prepare_kernel_scales(fuse_gemma3_projections(params)))
     return model, params
 

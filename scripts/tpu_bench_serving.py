@@ -32,7 +32,18 @@ def build():
     from onnx_quantize_tpu.models.gemma3 import GEMMA3_1B, GEMMA3_270M
 
     name = os.environ.get("OQT_SERVE_MODEL", "270m").lower()
-    base = GEMMA3_1B if name == "1b" else GEMMA3_270M
+    if name == "moe":
+        from onnx_quantize_tpu.models.moe import moe_config
+
+        base = moe_config(
+            num_experts=8, num_experts_per_tok=2, moe_intermediate_size=2816,
+            shared_expert_size=0, norm_topk_prob=True, vocab_size=32_768,
+            hidden_size=1024, intermediate_size=2816, num_layers=16,
+            num_heads=8, num_kv_heads=2, head_dim=128,
+            rope_theta=1_000_000.0,
+        )
+    else:
+        base = GEMMA3_1B if name == "1b" else GEMMA3_270M
     cfg = dataclasses.replace(base, dtype="bfloat16")
     return _build(cfg, quantized=True, cpu_device=jax.devices("cpu")[0])
 
