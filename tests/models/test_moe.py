@@ -289,6 +289,36 @@ class TestCalibrationTaps:
             if (~unrouted).any():
                 assert np.abs(tap[~unrouted]).max() > 0
 
+    def test_gptq_on_moe_experts(self, rng):
+        """GPTQ over an MoE model: each expert's Hessian accumulates only its
+        routed tokens (zeroed rows contribute zero to X^T X) — the property
+        the dense-masked taps guarantee. Must run end-to-end and not blow up
+        output error vs RTN."""
+        cfg, model, params = _model()
+        data = _ids(rng, batch=4, seq=8)
+        ids = _ids(rng)
+        fp = np.asarray(model(params, ids))
+
+        def run(algorithm):
+            qc = oqt.QConfig(
+                weights=oqt.QWeightArgs(
+                    dtype="uint4", group_size=16, algorithm=algorithm,
+                ),
+                ignore=[r"\.router$"],
+                calibration_data=data,
+                calibration_params=oqt.CalibrationParams(
+                    num_samples=4, batch_size=2
+                ),
+            )
+            qparams, _ = oqt.quantize(model, params, qc)
+            q = np.asarray(model(qparams, ids))
+            return float(np.abs(q - fp).mean())
+
+        err_gptq = run(oqt.GPTQConfig(block_size=16))
+        err_rtn = run(None)
+        assert np.isfinite(err_gptq)
+        assert err_gptq < 1.5 * err_rtn
+
     def test_calibrated_static_act_quantization(self, rng):
         """End-to-end: static act quant over an MoE model calibrates and runs."""
         cfg, model, params = _model()
@@ -306,6 +336,29 @@ class TestCalibrationTaps:
 
 
 class TestEngine:
+    def test_speculative_decoding_with_moe_target(self):
+        """Speculative decoding composes with an MoE target (fused-expert
+        layout): output must equal the target engine's own greedy stream."""
+        from onnx_quantize_tpu.engine import InferenceEngine, SpeculativeDecoder
+
+        cfg, model, params = _model()
+        qparams, _ = oqt.quantize(
+            model, params,
+            oqt.QConfig(weights=oqt.QWeightArgs(dtype="uint4", group_size=16),
+                        ignore=[r"\.router$"]),
+        )
+        fused = fuse_moe_experts(fuse_gemma3_projections(qparams))
+        prompts = [[5, 9, 17, 3], [11, 2]]
+        base = InferenceEngine(model, fused, max_batch=2, max_seq=64,
+                               kv_quant=True).generate(prompts, max_new_tokens=8)
+        spec = SpeculativeDecoder(
+            InferenceEngine(model, fused, max_batch=2, max_seq=64, kv_quant=True),
+            InferenceEngine(model, fused, max_batch=2, max_seq=64, kv_quant=True),
+            k=3,
+        )
+        got = spec.generate(prompts, max_new_tokens=8)
+        assert got == base
+
     def test_moe_engine_prefill_decode(self, rng):
         cfg, model, params = _model(shared_expert_size=48)
         qc = oqt.QConfig(
