@@ -26,6 +26,7 @@ from onnx_quantize_tpu.engine.kv_cache import (
     read_kv,
     read_kv_quantized,
     write_kv,
+    write_kv_rows,
     write_kv_window,
 )
 from onnx_quantize_tpu.engine.sampling import SamplingParams, sample, sample_batch
@@ -399,6 +400,54 @@ class InferenceEngine:
         merged["lengths"] = jnp.where(slot_mask, lengths, cache["lengths"])
         return merged, last, jnp.argmax(last, axis=-1).astype(jnp.int32)
 
+    def _admit_prefill_impl(self, params, cache, ids, lengths, slots):
+        """Narrow admission prefill: forward ONLY the A admitted rows.
+
+        The masked full-batch prefill computes all ``max_batch`` rows at
+        ``T_pad`` width no matter how few slots are being (re)filled — at
+        serving steady state that is the dominant per-round compute (a
+        handful of freed slots pays a full (B, T_pad) forward). Here ids are
+        (A, T_pad) with A < B: the admitted rows' forward runs at (A, T_pad),
+        their K/V scatter into batch slots ``slots`` (A,) int32 via
+        :func:`write_kv_rows`, and attention reads the FRESH rows instead of
+        the wide cache — through the same quantized-KV attend when the cache
+        is int8, so admission logits/tokens are bit-identical to the
+        full-batch masked prefill (adding the wide path's exactly-zero
+        masked softmax terms changes nothing). Padding rows pass
+        ``slots = max_batch`` (scatter mode="drop").
+
+        Returns (cache', logits (A, V), greedy (A,)).
+        """
+        A, T = ids.shape
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (A, T))
+        tcol = jnp.arange(T, dtype=jnp.int32)[None, :]
+        kv_positions = jnp.where(tcol < lengths[:, None], tcol, _FAR)
+
+        holder = {"cache": dict(cache)}
+        quantized = self.cache_cfg.quantized
+
+        def kv_write_fn(layer, k, v):
+            holder["cache"], fresh = write_kv_rows(
+                holder["cache"], layer, k, v, positions, slots
+            )
+            if not quantized and self.cache_cfg.dtype != k.dtype:
+                k, v = fresh
+                return k.astype(self.dtype), v.astype(self.dtype)
+            return fresh
+
+        model = self._exec_model
+        hidden = model.hidden_states(
+            params, ids, positions=positions, kv_write=kv_write_fn,
+            kv_positions=kv_positions,
+        )
+        h_last = jnp.take_along_axis(
+            hidden, (lengths - 1)[:, None, None], axis=1
+        )
+        logits = model.lm_head(params["lm_head"], h_last)[:, 0]
+        new = holder["cache"]
+        new["lengths"] = cache["lengths"].at[slots].set(lengths, mode="drop")
+        return new, logits, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
     def snapshot_prefix(self, cache, row: int, length: int) -> dict:
         """Extract rows [0, length) of slot ``row`` as a reusable KV prefix.
 
@@ -517,9 +566,32 @@ class InferenceEngine:
         eos_on = eos >= 0
         done = done0
         if admit is not None:
-            ids, lengths, mask = admit
-            cache, last, _ = self._prefill_impl(params, cache, ids, lengths, mask)
-            t0 = samp(last, rngs[0])
+            ids, lengths, third = admit
+            if third.dtype == jnp.bool_:
+                # Full-batch masked admission (B-wide arrays, bool slot mask).
+                mask = third
+                cache, last, _ = self._prefill_impl(
+                    params, cache, ids, lengths, mask
+                )
+                t0 = samp(last, rngs[0])
+            else:
+                # Narrow admission: (A, T_pad) rows + (A,) slot ids — only
+                # the admitted rows' forward is computed (the steady-state
+                # serving lever; see _admit_prefill_impl). Sampling runs on
+                # the A rows with their slots' sampler rows, then scatters.
+                slots = third
+                B = tokens.shape[0]
+                cache, last_a, _ = self._admit_prefill_impl(
+                    params, cache, ids, lengths, slots
+                )
+                safe = jnp.clip(slots, 0, B - 1)
+                t0_a = sample_batch(
+                    last_a, rngs[0], temps[safe], top_ks[safe], top_ps[safe],
+                    need_temp=need_temp, need_topk=need_topk,
+                    need_topp=need_topp,
+                )
+                mask = jnp.zeros((B,), bool).at[slots].set(True, mode="drop")
+                t0 = tokens.at[slots].set(t0_a, mode="drop")
             tokens = jnp.where(mask, t0, tokens)
             emitted0 = mask.astype(jnp.int32)
             done = jnp.logical_and(done, jnp.logical_not(mask))
@@ -669,7 +741,8 @@ class InferenceEngine:
                     carry=None,
                     admit_ids: np.ndarray | None = None,
                     admit_lengths: np.ndarray | None = None,
-                    admit_mask: np.ndarray | None = None):
+                    admit_mask: np.ndarray | None = None,
+                    admit_slots: np.ndarray | None = None):
         """One serving round in ONE device program (see ``_serve_impl``).
 
         ``sampling_arrays`` = (temps, top_ks, top_ps) per-slot rows (build
@@ -690,11 +763,25 @@ class InferenceEngine:
         temps, top_ks, top_ps = sampling_arrays
         admit = None
         if admit_ids is not None:
-            admit = (
-                jnp.asarray(admit_ids, jnp.int32),
-                jnp.asarray(admit_lengths, jnp.int32),
-                jnp.asarray(admit_mask),
-            )
+            if admit_slots is not None:
+                # Narrow admission: (A, T_pad) rows + slot ids (A,) int32 —
+                # only the admitted rows' forward runs (_admit_prefill_impl).
+                if self.mesh is not None:
+                    raise NotImplementedError(
+                        "narrow admission is single-chip; mesh engines use "
+                        "the full masked admission"
+                    )
+                admit = (
+                    jnp.asarray(admit_ids, jnp.int32),
+                    jnp.asarray(admit_lengths, jnp.int32),
+                    jnp.asarray(admit_slots, jnp.int32),
+                )
+            else:
+                admit = (
+                    jnp.asarray(admit_ids, jnp.int32),
+                    jnp.asarray(admit_lengths, jnp.int32),
+                    jnp.asarray(admit_mask),
+                )
         if carry is not None:
             toks, done0, budgets_arr = carry
         else:

@@ -118,6 +118,41 @@ def write_kv(cache: dict, layer: int, k, v, positions) -> dict:
     return new
 
 
+def write_kv_rows(cache: dict, layer: int, k, v, positions, slots):
+    """Scatter A new rows' K/V into batch slots ``slots`` (A,) at per-row
+    ``positions`` (A, T) — the narrow admission prefill's write: only the
+    admitted rows' forward is computed, so k/v are (A, T, H, D) with A <
+    max_batch. Out-of-range slots or positions drop (padding rows pass
+    ``slots = B``). Returns (cache', quantized-or-plain fresh rows) — the
+    fresh rows feed the admission's own attention so it reads NOTHING back
+    from the wide cache (and, when quantized, attends over the SAME int8
+    values the cache now holds, keeping admission tokens bit-identical to
+    the full-batch masked prefill)."""
+    quantized = "k_scale" in cache
+
+    def scatter(buf, rows):
+        A = rows.shape[0]
+        row_idx = slots[:, None] * jnp.ones((1, positions.shape[1]), jnp.int32)
+        return buf.at[layer, row_idx, positions].set(
+            rows.astype(buf.dtype), mode="drop"
+        )
+
+    new = dict(cache)
+    if quantized:
+        kq, ks = _quantize_sym(k)
+        vq, vs = _quantize_sym(v)
+        new["k"] = scatter(cache["k"], kq)
+        new["v"] = scatter(cache["v"], vq)
+        new["k_scale"] = scatter(cache["k_scale"], ks)
+        new["v_scale"] = scatter(cache["v_scale"], vs)
+        fresh = QuantizedKV(k=kq, v=vq, k_scale=ks, v_scale=vs)
+    else:
+        new["k"] = scatter(cache["k"], k)
+        new["v"] = scatter(cache["v"], v)
+        fresh = (k, v)
+    return new, fresh
+
+
 def write_kv_window(cache: dict, layer: int, k, v, start, ok) -> dict:
     """Contiguous-window K/V write at per-row offsets (B rows, T columns).
 

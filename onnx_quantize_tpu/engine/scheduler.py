@@ -85,6 +85,12 @@ class ContinuousBatchingScheduler:
         # tokens are independent of batch composition, and frozen slots stop
         # emitting in-program).
         self.pipeline = pipeline
+        # Narrow admission (serve mode, single-chip): admission groups of
+        # <= max_batch/2 run the (A, T_pad) rows-only prefill inside the
+        # serve program instead of the full (B, T_pad) masked prefill — at
+        # serving steady state a handful of freed slots no longer pays a
+        # full-batch forward (the dominant per-round compute; BENCH.md r4).
+        self.narrow_admit = engine.mesh is None
         self.cache = engine.new_cache()
         self.queue: deque[Request] = deque()
         self.slots: list[Request | None] = [None] * engine.max_batch
@@ -195,6 +201,28 @@ class ContinuousBatchingScheduler:
             mask[slot_id] = True
         return ids, lengths, mask
 
+    def _build_admit_narrow(self, admitted):
+        """(ids (A, T_pad), lengths (A,), slots (A,)) for the rows-only
+        admission prefill. A buckets to a power of two (compile-count
+        control, same rationale as the T_pad bucketing); padding rows carry
+        ``slot = max_batch`` so every scatter drops them."""
+        B = self.engine.max_batch
+        longest = max(max(len(r.prompt), 1) for _, r in admitted)
+        T_pad = min(-(-longest // 64) * 64, self.engine.max_seq)
+        A = 1
+        while A < len(admitted):
+            A *= 2
+        A = min(A, B)
+        ids = np.zeros((A, max(T_pad, longest)), np.int32)
+        lengths = np.ones((A,), np.int32)
+        slots = np.full((A,), B, np.int32)
+        for i, (slot_id, request) in enumerate(admitted):
+            ids[i, : len(request.prompt)] = request.prompt
+            lengths[i] = max(len(request.prompt), 1)
+            slots[i] = slot_id
+            self.lengths[slot_id] = lengths[i]
+        return ids, lengths, slots
+
     def _prefill_group(self, admitted, prefixed: bool) -> None:
         """ONE masked prefill call for an admission group + first tokens."""
         ids, new_lengths, mask = self._build_admit(
@@ -295,10 +323,16 @@ class ContinuousBatchingScheduler:
 
         admit_kw = {}
         if admitted:
-            ids, lengths, mask = self._build_admit(admitted)
-            admit_kw = dict(
-                admit_ids=ids, admit_lengths=lengths, admit_mask=mask
-            )
+            if self.narrow_admit and len(admitted) <= self.engine.max_batch // 2:
+                ids, lengths, slots = self._build_admit_narrow(admitted)
+                admit_kw = dict(
+                    admit_ids=ids, admit_lengths=lengths, admit_slots=slots
+                )
+            else:
+                ids, lengths, mask = self._build_admit(admitted)
+                admit_kw = dict(
+                    admit_ids=ids, admit_lengths=lengths, admit_mask=mask
+                )
         self.rng, step_rng = jax.random.split(self.rng)
         self.cache, blob, carry = self.engine.serve_chunk(
             self.cache, self.next_tokens, steps=self.chunk, active=active,

@@ -270,3 +270,108 @@ def test_pipelined_continuous_load_all_complete(quantized_model):
     base = _run(model, qparams, 1, reqs, max_batch=2)
     got = _run(model, qparams, 4, reqs, pipeline=3, max_batch=2)
     assert got == base
+
+
+# ── narrow admission (rows-only prefill) ─────────────────────────────────
+
+
+class TestNarrowAdmission:
+    def _outputs(self, model, params, *, narrow, kv_quant=True, temp=0.0,
+                 chunk=4, pipeline=2):
+        rng = np.random.default_rng(3)
+        prompts = [list(rng.integers(1, 128, size=int(n)))
+                   for n in (5, 9, 3, 7, 4, 6, 8, 2)]
+        engine = InferenceEngine(model, params, max_batch=4, max_seq=64,
+                                 kv_quant=kv_quant)
+        sched = ContinuousBatchingScheduler(engine, chunk=chunk,
+                                            pipeline=pipeline)
+        sched.narrow_admit = narrow
+        sp = SamplingParams(temperature=temp, top_k=8 if temp > 0 else 0)
+        reqs = [sched.submit(p, max_new_tokens=6, sampling=sp)
+                for p in prompts]
+        sched.run()
+        return [r.output for r in reqs]
+
+    @pytest.mark.parametrize("kv_quant", [True, False])
+    def test_matches_full_admission_and_oracle(self, quantized_model, kv_quant):
+        """Rows-only admission must be BIT-identical to the full masked
+        prefill (it attends over the same int8/fp values through the same
+        code path) — and therefore to the per-step oracle."""
+        model, qparams = quantized_model
+        narrow = self._outputs(model, qparams, narrow=True, kv_quant=kv_quant)
+        full = self._outputs(model, qparams, narrow=False, kv_quant=kv_quant)
+        oracle = self._outputs(model, qparams, narrow=False, kv_quant=kv_quant,
+                               chunk=1, pipeline=1)
+        assert narrow == full == oracle
+
+    def test_matches_under_sampling(self, quantized_model):
+        """Same rng stream per round: sampled tokens match the full path."""
+        model, qparams = quantized_model
+        narrow = self._outputs(model, qparams, narrow=True, temp=0.8)
+        full = self._outputs(model, qparams, narrow=False, temp=0.8)
+        assert narrow == full
+
+    def test_admit_prefill_impl_bit_parity(self, quantized_model):
+        """Unit tier: _admit_prefill_impl's logits and written cache rows
+        equal the full masked _prefill_impl's for the same admissions."""
+        model, qparams = quantized_model
+        engine = _engine(model, qparams, max_batch=4)
+        rng = np.random.default_rng(0)
+        B, T = 4, 8
+        ids_full = np.zeros((B, T), np.int32)
+        lengths_full = np.ones((B,), np.int32)
+        mask = np.array([False, True, False, True])
+        prompts = {1: list(rng.integers(1, 128, size=5)),
+                   3: list(rng.integers(1, 128, size=8))}
+        for s, p in prompts.items():
+            ids_full[s, : len(p)] = p
+            lengths_full[s] = len(p)
+
+        import jax.numpy as jnp
+
+        cache0 = engine.new_cache()
+        cache_f, logits_f, greedy_f = jax.jit(engine._prefill_impl)(
+            engine.params, cache0, jnp.asarray(ids_full),
+            jnp.asarray(lengths_full), jnp.asarray(mask),
+        )
+
+        ids_n = np.stack([ids_full[1], ids_full[3]])
+        lengths_n = np.array([5, 8], np.int32)
+        slots = np.array([1, 3], np.int32)
+        cache_n, logits_n, greedy_n = jax.jit(engine._admit_prefill_impl)(
+            engine.params, engine.new_cache(), jnp.asarray(ids_n),
+            jnp.asarray(lengths_n), jnp.asarray(slots),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(logits_n), np.asarray(logits_f)[[1, 3]]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(greedy_n), np.asarray(greedy_f)[[1, 3]]
+        )
+        for key in ("k", "v", "k_scale", "v_scale"):
+            for slot, ln in ((1, 5), (3, 8)):
+                np.testing.assert_array_equal(
+                    np.asarray(cache_n[key][:, slot, :ln]),
+                    np.asarray(cache_f[key][:, slot, :ln]),
+                    err_msg=f"{key} slot {slot}",
+                )
+        np.testing.assert_array_equal(
+            np.asarray(cache_n["lengths"])[[1, 3]], [5, 8]
+        )
+
+    def test_padding_rows_drop(self, quantized_model):
+        """Bucketed A padding rows (slot = max_batch) must not touch state."""
+        model, qparams = quantized_model
+        engine = _engine(model, qparams, max_batch=4)
+        import jax.numpy as jnp
+
+        ids = np.zeros((2, 8), np.int32)
+        ids[0, :3] = [5, 9, 17]
+        cache0 = engine.new_cache()
+        cache, logits, greedy = jax.jit(engine._admit_prefill_impl)(
+            engine.params, cache0, jnp.asarray(ids),
+            jnp.asarray(np.array([3, 1], np.int32)),
+            jnp.asarray(np.array([2, 4], np.int32)),  # row 1 = padding
+        )
+        lengths = np.asarray(cache["lengths"])
+        assert lengths[2] == 3 and lengths.sum() == 3
