@@ -85,12 +85,17 @@ class ContinuousBatchingScheduler:
         # tokens are independent of batch composition, and frozen slots stop
         # emitting in-program).
         self.pipeline = pipeline
-        # Narrow admission (serve mode, single-chip): admission groups of
-        # <= max_batch/2 run the (A, T_pad) rows-only prefill inside the
-        # serve program instead of the full (B, T_pad) masked prefill — at
-        # serving steady state a handful of freed slots no longer pays a
-        # full-batch forward (the dominant per-round compute; BENCH.md r4).
-        self.narrow_admit = engine.mesh is None
+        # Narrow admission (serve mode, single-chip, opt-in): admission
+        # groups of <= max_batch/2 run the (A, T_pad) rows-only prefill
+        # inside the serve program instead of the full (B, T_pad) masked
+        # prefill. Bit-identical outputs, strictly less admission compute —
+        # but measured a WASH on 270M end-to-end throughput (admission
+        # rounds are ~1/pipeline of rounds and the decode scan dominates
+        # them; controlled A/B in BENCH.md round 4) while each (A, T_pad)
+        # bucket adds a compiled serve variant (minutes of warmup on this
+        # runtime). Flip on for models whose prefill forward is the
+        # admission-round bottleneck.
+        self.narrow_admit = False
         self.cache = engine.new_cache()
         self.queue: deque[Request] = deque()
         self.slots: list[Request | None] = [None] * engine.max_batch

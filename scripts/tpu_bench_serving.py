@@ -49,18 +49,26 @@ def build():
 
 
 def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
-          seed=0, repeats=5, pipeline=1):
+          seed=0, repeats=5, pipeline=1, narrow=None, engine=None):
     import jax
     import jax.numpy as jnp
     import jax.tree_util as jtu
 
     from onnx_quantize_tpu.engine import ContinuousBatchingScheduler, InferenceEngine
 
-    device = jax.devices()[0]
-    params = jtu.tree_map(lambda a: jax.device_put(a, device), params)
-    engine = InferenceEngine(model, params, max_batch=max_batch,
-                             max_seq=max_seq, kv_quant=True,
-                             dtype=jnp.bfloat16)
+    if engine is None:
+        device = jax.devices()[0]
+        params = jtu.tree_map(lambda a: jax.device_put(a, device), params)
+        engine = InferenceEngine(model, params, max_batch=max_batch,
+                                 max_seq=max_seq, kv_quant=True,
+                                 dtype=jnp.bfloat16)
+    if narrow is None:
+        narrow = os.environ.get("OQT_SERVE_NARROW", "1") != "0"
+
+    def make_sched():
+        s = ContinuousBatchingScheduler(engine, chunk=chunk, pipeline=pipeline)
+        s.narrow_admit = narrow
+        return s
     rng = np.random.default_rng(seed)
     prompts = [
         (list(rng.integers(1, model.cfg.vocab_size,
@@ -75,7 +83,7 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
     # them — round 3's first measurement read 292 tok/s because the no-admit
     # chunk program compiled inside the timed region (minutes-per-compile
     # runtime; see BENCH.md round 3).
-    warm = ContinuousBatchingScheduler(engine, chunk=chunk, pipeline=pipeline)
+    warm = make_sched()
     for p, m in prompts:
         warm.submit(p, max_new_tokens=m)
     t0 = time.time()
@@ -84,7 +92,7 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
 
     runs = []
     for _ in range(repeats):
-        sched = ContinuousBatchingScheduler(engine, chunk=chunk, pipeline=pipeline)
+        sched = make_sched()
         reqs = [sched.submit(p, max_new_tokens=m) for p, m in prompts]
         t0 = time.time()
         finished = sched.run()
@@ -115,6 +123,7 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
     return {
         "latency": latency,
         "chunk": chunk,
+        "narrow_admit": narrow,
         "pipeline": pipeline,
         "requests": n_requests,
         "generated_tokens": generated,
@@ -134,6 +143,27 @@ def main():
     )
     pipeline = int(os.environ.get("OQT_SERVE_PIPELINE", "1"))
     rows = []
+    if os.environ.get("OQT_SERVE_AB"):
+        # A/B the narrow admission against the full masked admission on ONE
+        # engine (shared compile cache), alternating arms to decorrelate any
+        # machine-state drift from the arm.
+        import jax
+        import jax.numpy as jnp
+
+        device = jax.devices()[0]
+        params = jax.tree.map(lambda a: jax.device_put(a, device), params)
+        from onnx_quantize_tpu.engine import InferenceEngine
+
+        engine = InferenceEngine(model, params, max_batch=32, max_seq=512,
+                                 kv_quant=True, dtype=jnp.bfloat16)
+        for chunk in chunks:
+            for narrow in (True, False, True, False):
+                rows.append(serve(model, params, chunk, pipeline=pipeline,
+                                  narrow=narrow, engine=engine, repeats=3))
+                print(json.dumps(rows[-1]), flush=True)
+        name = os.environ.get("OQT_SERVE_MODEL", "270m").lower()
+        print(json.dumps({"probe": f"serving_{name}_ab", "rows": rows}))
+        return
     for chunk in chunks:
         rows.append(serve(model, params, chunk, pipeline=pipeline))
         print(json.dumps(rows[-1]), flush=True)
