@@ -4,6 +4,7 @@ from onnx_quantize_tpu.parallel.sharding import (
     qtensor_shardings,
     shard_params,
 )
+from onnx_quantize_tpu.parallel.ep import a2a_moe_mlp
 from onnx_quantize_tpu.parallel.pp import (
     make_pipeline_mesh,
     pipeline_stage_params,
@@ -16,6 +17,7 @@ from onnx_quantize_tpu.parallel.tp import (
 )
 
 __all__ = [
+    "a2a_moe_mlp",
     "make_pipeline_mesh",
     "pipeline_stage_params",
     "pp_logits",
