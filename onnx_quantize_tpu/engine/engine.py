@@ -577,21 +577,29 @@ class InferenceEngine:
             else:
                 # Narrow admission: (A, T_pad) rows + (A,) slot ids — only
                 # the admitted rows' forward is computed (the steady-state
-                # serving lever; see _admit_prefill_impl). Sampling runs on
-                # the A rows with their slots' sampler rows, then scatters.
+                # serving lever; see _admit_prefill_impl).
                 slots = third
                 B = tokens.shape[0]
-                cache, last_a, _ = self._admit_prefill_impl(
+                cache, last_a, greedy_a = self._admit_prefill_impl(
                     params, cache, ids, lengths, slots
                 )
-                safe = jnp.clip(slots, 0, B - 1)
-                t0_a = sample_batch(
-                    last_a, rngs[0], temps[safe], top_ks[safe], top_ps[safe],
-                    need_temp=need_temp, need_topk=need_topk,
-                    need_topp=need_topp,
-                )
                 mask = jnp.zeros((B,), bool).at[slots].set(True, mode="drop")
-                t0 = tokens.at[slots].set(t0_a, mode="drop")
+                if need_temp:
+                    # categorical noise is POSITIONAL (threefry counters over
+                    # the flattened array): to keep sampled tokens
+                    # bit-identical to the masked full-batch path, scatter
+                    # the A logits rows into their B positions and run the
+                    # SAME full-batch sampler (the non-admitted rows' draws
+                    # are discarded below, exactly as on the masked path).
+                    V = last_a.shape[-1]
+                    last_b = jnp.zeros((B, V), last_a.dtype).at[slots].set(
+                        last_a, mode="drop"
+                    )
+                    t0 = samp(last_b, rngs[0])
+                else:
+                    # Greedy is per-row positional-independent: the A-row
+                    # argmax already matches the masked path bit-for-bit.
+                    t0 = tokens.at[slots].set(greedy_a, mode="drop")
             tokens = jnp.where(mask, t0, tokens)
             emitted0 = mask.astype(jnp.int32)
             done = jnp.logical_and(done, jnp.logical_not(mask))

@@ -328,7 +328,11 @@ class ContinuousBatchingScheduler:
 
         admit_kw = {}
         if admitted:
-            if self.narrow_admit and len(admitted) <= self.engine.max_batch // 2:
+            if (
+                self.narrow_admit
+                and self.engine.mesh is None  # mesh engines: full admission
+                and len(admitted) <= self.engine.max_batch // 2
+            ):
                 ids, lengths, slots = self._build_admit_narrow(admitted)
                 admit_kw = dict(
                     admit_ids=ids, admit_lengths=lengths, admit_slots=slots

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from onnx_quantize_tpu import nn
+from onnx_quantize_tpu.core.enums import QFormat
 from onnx_quantize_tpu.nn.layers import Embedding, RMSNorm, apply_rope
 from onnx_quantize_tpu.nn.module import Context, InputSpec
 
@@ -341,6 +342,44 @@ def _expert_slice(site: dict, e: int) -> dict:
     return out
 
 
+def apply_site(site: dict, x):
+    """Linear-site semantics on an engine-layout site dict (prescale multiply,
+    QTensor-vs-dense dispatch, caller-dtype stream). The ONE definition shared
+    by the MoE module's stacked/fused paths and the a2a EP schedule
+    (``parallel/ep.py``) — expert-execution semantics must not fork."""
+    from onnx_quantize_tpu.ops import quantized_matmul
+
+    dt = x.dtype
+    prescale = site.get("prescale")
+    if prescale is not None:
+        x = (x * prescale).astype(dt)
+    w = site["w"]
+    if isinstance(w, nn.QTensor):
+        y = quantized_matmul(x, w)
+    else:
+        y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+    return y.astype(dt)
+
+
+def glu_activation(gate, up, activation: str):
+    if activation == "silu":
+        return jax.nn.silu(gate) * up
+    return jax.nn.gelu(gate, approximate=True) * up
+
+
+def stacked_expert_mlp(stacked: dict, e: int, x, activation: str):
+    """One expert's gated MLP from a stacked site dict (engine layout)."""
+    if "gate_up" in stacked:
+        gu = apply_site(_expert_slice(stacked["gate_up"], e), x)
+        n = gu.shape[-1] // 2
+        gate, up = gu[..., :n], gu[..., n:]
+    else:
+        gate = apply_site(_expert_slice(stacked["gate"], e), x)
+        up = apply_site(_expert_slice(stacked["up"], e), x)
+    act = glu_activation(gate, up, activation)
+    return apply_site(_expert_slice(stacked["down"], e), act)
+
+
 class Gemma3MoEMLP(nn.Module):
     """Sparse Mixture-of-Experts MLP (Mixtral / Qwen-MoE convention).
 
@@ -406,9 +445,30 @@ class Gemma3MoEMLP(nn.Module):
         # M >= 128 — the same phase boundary as the W4 kernel's M-routing.
         self.use_ragged_prefill: bool | str = "auto"
 
-    def _ragged_ok(self, stacked, M: int) -> bool:
+    @staticmethod
+    def _ragged_compatible(layout: dict) -> bool:
+        """The ragged path runs plain fp grouped matmuls on dequantized
+        weights — only valid for weight-only QDQ sites. Activation-quant or
+        QLinear configs must keep the dense-masked path, whose per-expert
+        ``quantized_matmul`` applies the input/output fake-quant and
+        full-integer semantics."""
+        for site in layout.values():
+            w = site.get("w")
+            if isinstance(w, nn.QTensor):
+                m = w.meta
+                if (
+                    m.fmt != QFormat.QDQ
+                    or m.input_quant.mode != "none"
+                    or m.output_quant.mode != "none"
+                ):
+                    return False
+        return True
+
+    def _ragged_ok(self, layout, M: int) -> bool:
         mode = self.use_ragged_prefill
-        if mode is False or stacked is None or self.ep_axis is not None:
+        if mode is False or layout is None or self.ep_axis is not None:
+            return False
+        if not self._ragged_compatible(layout):
             return False
         if mode is True:
             return True
@@ -471,10 +531,7 @@ class Gemma3MoEMLP(nn.Module):
             up = jax.lax.ragged_dot(
                 prescaled(stacked["up"], xs), w_u, group_sizes
             ).astype(x.dtype)
-        if self.activation == "silu":
-            act = jax.nn.silu(gate) * up
-        else:
-            act = jax.nn.gelu(gate, approximate=True) * up
+        act = glu_activation(gate, up, self.activation)
         w_d = self._dense_stack(stacked["down"], x.dtype)
         ys = jax.lax.ragged_dot(
             prescaled(stacked["down"], act), w_d, group_sizes
@@ -501,34 +558,8 @@ class Gemma3MoEMLP(nn.Module):
             axis=-2,
         )
 
-    def _apply_site(self, site: dict, x):
-        """Linear-site semantics on a sliced stacked entry (engine layout)."""
-        from onnx_quantize_tpu.ops import quantized_matmul
-
-        dt = x.dtype
-        prescale = site.get("prescale")
-        if prescale is not None:
-            x = (x * prescale).astype(dt)
-        w = site["w"]
-        if isinstance(w, nn.QTensor):
-            y = quantized_matmul(x, w)
-        else:
-            y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
-        return y.astype(dt)
-
     def _expert_stacked(self, stacked: dict, e: int, x):
-        if "gate_up" in stacked:
-            gu = self._apply_site(_expert_slice(stacked["gate_up"], e), x)
-            n = gu.shape[-1] // 2
-            gate, up = gu[..., :n], gu[..., n:]
-        else:
-            gate = self._apply_site(_expert_slice(stacked["gate"], e), x)
-            up = self._apply_site(_expert_slice(stacked["up"], e), x)
-        if self.activation == "silu":
-            act = jax.nn.silu(gate) * up
-        else:
-            act = jax.nn.gelu(gate, approximate=True) * up
-        return self._apply_site(_expert_slice(stacked["down"], e), act)
+        return stacked_expert_mlp(stacked, e, x, self.activation)
 
     def _experts_fused(self, fused: dict, x, combine):
         """Two-matmul expert execution (the decode-fast layout, see
@@ -539,7 +570,7 @@ class Gemma3MoEMLP(nn.Module):
         the cross-device combine."""
         cfg = self.cfg
         inter = cfg.moe_intermediate_size or cfg.intermediate_size
-        gu = self._apply_site(fused["gate_up"], x)  # (..., E_local*2I)
+        gu = apply_site(fused["gate_up"], x)  # (..., E_local*2I)
         n_local = gu.shape[-1] // (2 * inter)
         if self.ep_axis is not None:
             base = jax.lax.axis_index(self.ep_axis) * n_local
@@ -548,13 +579,10 @@ class Gemma3MoEMLP(nn.Module):
             seg = combine
         gu = gu.reshape(*gu.shape[:-1], n_local, 2 * inter)
         gate, up = gu[..., :inter], gu[..., inter:]
-        if self.activation == "silu":
-            act = jax.nn.silu(gate) * up
-        else:
-            act = jax.nn.gelu(gate, approximate=True) * up
+        act = glu_activation(gate, up, self.activation)
         act = act * seg[..., None].astype(act.dtype)
         act = act.reshape(*x.shape[:-1], n_local * inter)
-        out = self._apply_site(fused["down"], act)
+        out = apply_site(fused["down"], act)
         if self.ep_axis is not None:
             out = jax.lax.psum(out.astype(jnp.float32), self.ep_axis)
         return out.astype(x.dtype)

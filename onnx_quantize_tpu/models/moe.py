@@ -207,6 +207,20 @@ def _concat_k_sites(sites: list[dict]) -> dict:
             "expert K-concat requires GROUP strategy (channel/tensor scales "
             "cannot concatenate along K)"
         )
+    # Output quant would apply to the COMBINED sum instead of each expert's
+    # output (the loop path's semantics); dynamic input quant would compute
+    # one amax over the concatenated row instead of per expert. Both change
+    # numerics — reject so fuse_moe_experts falls back to the loop layout.
+    if first.meta.output_quant.mode != "none":
+        raise ValueError(
+            "expert K-concat cannot apply per-expert output quantization to "
+            "the combined accumulator"
+        )
+    if first.meta.input_quant.mode == "dynamic":
+        raise ValueError(
+            "expert K-concat would merge per-expert dynamic input "
+            "quantization grids"
+        )
     if first.meta.packed:
         gs = first.meta.pack_group
         K_e = first.meta.shape[0]
@@ -297,6 +311,16 @@ def fuse_moe_experts(params: dict) -> dict:
             gu_sites = [s["_fused_gate_up"] for s in subs]
             if not can_fuse(gu_sites):
                 raise ValueError("per-expert gate_up sites not fuse-compatible")
+            gu_w = gu_sites[0]["w"]
+            if (
+                isinstance(gu_w, QTensor)
+                and gu_w.meta.output_quant.mode == "dynamic"
+            ):
+                # Dynamic output quant computes one amax per TENSOR — over
+                # the expert concat it would merge per-expert grids.
+                raise ValueError(
+                    "per-expert dynamic output quantization cannot concat"
+                )
             gate_up, _ = fuse_sites(gu_sites)
             down = _concat_k_sites([s["down_proj"] for s in subs])
         except ValueError as exc:

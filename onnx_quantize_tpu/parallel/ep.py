@@ -30,42 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from onnx_quantize_tpu.nn.qtensor import QTensor
-
 __all__ = ["a2a_moe_mlp"]
-
-
-def _apply_site(site: dict, x, e: int):
-    """Linear-site semantics on expert ``e`` of a stacked site dict."""
-    from onnx_quantize_tpu.models.gemma3 import _expert_slice
-    from onnx_quantize_tpu.ops import quantized_matmul
-
-    sl = _expert_slice(site, e)
-    dt = x.dtype
-    prescale = sl.get("prescale")
-    if prescale is not None:
-        x = (x * prescale).astype(dt)
-    w = sl["w"]
-    if isinstance(w, QTensor):
-        y = quantized_matmul(x, w)
-    else:
-        y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
-    return y.astype(dt)
-
-
-def _expert_mlp(stacked: dict, e: int, x, activation: str):
-    if "gate_up" in stacked:
-        gu = _apply_site(stacked["gate_up"], x, e)
-        n = gu.shape[-1] // 2
-        gate, up = gu[..., :n], gu[..., n:]
-    else:
-        gate = _apply_site(stacked["gate"], x, e)
-        up = _apply_site(stacked["up"], x, e)
-    if activation == "silu":
-        act = jax.nn.silu(gate) * up
-    else:
-        act = jax.nn.gelu(gate, approximate=True) * up
-    return _apply_site(stacked["down"], act, e)
 
 
 def a2a_moe_mlp(x, stacked: dict, top_p, top_i, *, axis: str,
@@ -109,10 +74,14 @@ def a2a_moe_mlp(x, stacked: dict, top_p, top_i, *, axis: str,
     recv = lax.all_to_all(disp, axis, split_axis=0, concat_axis=0, tiled=False)
     # recv: (ep_src, e_local, cap, d) — source-device-major.
 
+    # The expert execution semantics come from the ONE shared definition the
+    # engine's MoE module uses (models/gemma3.py) — no fork to desynchronize.
+    from onnx_quantize_tpu.models.gemma3 import stacked_expert_mlp
+
     outs = []
     for g in range(e_local):
         rows = recv[:, g].reshape(ep * cap, d)
-        outs.append(_expert_mlp(stacked, g, rows, activation))
+        outs.append(stacked_expert_mlp(stacked, g, rows, activation))
     y = jnp.stack(outs).reshape(e_local, ep, cap, d)  # (e_local, ep_src, cap, d)
 
     # Reverse all_to_all: send each source device its tokens' results back.

@@ -276,39 +276,57 @@ def test_pipelined_continuous_load_all_complete(quantized_model):
 
 
 class TestNarrowAdmission:
+    # Staggered budgets over more requests than slots: completions free
+    # SMALL slot groups at different rounds, so steady-state admissions fall
+    # under the narrow gate (len(admitted) <= max_batch // 2).
+    BUDGETS = (3, 9, 5, 12, 4, 8, 6, 10, 7, 5, 11, 4)
+
     def _outputs(self, model, params, *, narrow, kv_quant=True, temp=0.0,
-                 chunk=4, pipeline=2):
+                 chunk=2, pipeline=2):
         rng = np.random.default_rng(3)
-        prompts = [list(rng.integers(1, 128, size=int(n)))
-                   for n in (5, 9, 3, 7, 4, 6, 8, 2)]
-        engine = InferenceEngine(model, params, max_batch=4, max_seq=64,
+        prompts = [list(rng.integers(1, 128, size=int(rng.integers(2, 10))))
+                   for _ in self.BUDGETS]
+        engine = InferenceEngine(model, params, max_batch=8, max_seq=64,
                                  kv_quant=kv_quant)
         sched = ContinuousBatchingScheduler(engine, chunk=chunk,
                                             pipeline=pipeline)
         sched.narrow_admit = narrow
+        narrow_calls = []
+        orig = sched._build_admit_narrow
+        sched._build_admit_narrow = (
+            lambda admitted: (narrow_calls.append(len(admitted)), orig(admitted))[1]
+        )
         sp = SamplingParams(temperature=temp, top_k=8 if temp > 0 else 0)
-        reqs = [sched.submit(p, max_new_tokens=6, sampling=sp)
-                for p in prompts]
+        reqs = [sched.submit(p, max_new_tokens=m, sampling=sp)
+                for p, m in zip(prompts, self.BUDGETS)]
         sched.run()
-        return [r.output for r in reqs]
+        return [r.output for r in reqs], narrow_calls
 
     @pytest.mark.parametrize("kv_quant", [True, False])
     def test_matches_full_admission_and_oracle(self, quantized_model, kv_quant):
         """Rows-only admission must be BIT-identical to the full masked
         prefill (it attends over the same int8/fp values through the same
-        code path) — and therefore to the per-step oracle."""
+        code path) — and therefore to the per-step oracle. The workload must
+        actually EXERCISE the narrow path (staggered frees; asserted)."""
         model, qparams = quantized_model
-        narrow = self._outputs(model, qparams, narrow=True, kv_quant=kv_quant)
-        full = self._outputs(model, qparams, narrow=False, kv_quant=kv_quant)
-        oracle = self._outputs(model, qparams, narrow=False, kv_quant=kv_quant,
-                               chunk=1, pipeline=1)
+        narrow, calls = self._outputs(model, qparams, narrow=True,
+                                      kv_quant=kv_quant)
+        assert calls, "workload never hit the narrow-admission gate"
+        full, no_calls = self._outputs(model, qparams, narrow=False,
+                                       kv_quant=kv_quant)
+        assert not no_calls
+        oracle, _ = self._outputs(model, qparams, narrow=False,
+                                  kv_quant=kv_quant, chunk=1, pipeline=1)
         assert narrow == full == oracle
 
     def test_matches_under_sampling(self, quantized_model):
-        """Same rng stream per round: sampled tokens match the full path."""
+        """Sampled admissions scatter their logits into the full batch rows
+        before sampling (categorical noise is positional), so sampled tokens
+        match the masked path bit-for-bit too."""
         model, qparams = quantized_model
-        narrow = self._outputs(model, qparams, narrow=True, temp=0.8)
-        full = self._outputs(model, qparams, narrow=False, temp=0.8)
+        narrow, calls = self._outputs(model, qparams, narrow=True, temp=0.8)
+        assert calls, "workload never hit the narrow-admission gate"
+        full, _ = self._outputs(model, qparams, narrow=False, temp=0.8)
         assert narrow == full
 
     def test_admit_prefill_impl_bit_parity(self, quantized_model):

@@ -248,6 +248,36 @@ class TestQuantizeAndStack:
                 err_msg=f"ragged path diverges for {layout.__name__}",
             )
 
+    def test_ragged_falls_back_on_act_quant(self, rng):
+        """The ragged path runs plain fp grouped matmuls — configs with
+        activation quantization must fall back to the dense-masked path
+        (whose quantized_matmul applies the act fake-quant), even when
+        use_ragged_prefill is forced on."""
+        cfg, model, params = _model()
+        data = _ids(rng, batch=4, seq=8)
+        qc = oqt.QConfig(
+            weights=oqt.QWeightArgs(dtype="int8", strategy="channel"),
+            input_activations=oqt.QActivationArgs(dtype="uint8", is_static=True),
+            calibration_data=data,
+            calibration_params=oqt.CalibrationParams(num_samples=4, batch_size=2),
+            ignore=[r"\.router$"],
+        )
+        qparams, _ = oqt.quantize(model, params, qc)
+        stacked = stack_moe_experts(fuse_gemma3_projections(qparams))
+        mlp_module = model.blocks[0].mlp
+        experts = stacked["layers.0"]["mlp"]["_stacked_experts"]
+        assert not mlp_module._ragged_compatible(experts)
+        ids = _ids(rng, batch=4, seq=16)
+        base = np.asarray(model(stacked, ids))
+        for block in model.blocks:
+            block.mlp.use_ragged_prefill = True
+        try:
+            out = np.asarray(model(stacked, ids))
+        finally:
+            for block in model.blocks:
+                block.mlp.use_ragged_prefill = "auto"
+        np.testing.assert_array_equal(out, base)
+
     def test_stack_rejects_mismatched_quantization(self, rng):
         cfg, model, params = _model()
         qc = oqt.QConfig(
