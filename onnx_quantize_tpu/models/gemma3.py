@@ -146,6 +146,10 @@ class Gemma3Attention(nn.Module):
         # KV head its query shard attends to (head = axis_index // kv_dup).
         self.kv_proj_heads: int | None = None  # None => cfg.num_kv_heads
         self.kv_slice: tuple[str, int] | None = None  # (axis_name, dup)
+        # Context-parallel marker set by parallel.cp.cp_localize:
+        # (mesh axis name, axis size, "ring" | "gather"). When set (and no KV
+        # cache is in play) attention runs over sequence-sharded K/V blocks.
+        self.cp_spec: tuple[str, int, str] | None = None
 
     def _flash_ok(self, use_flash, T: int) -> bool:
         if use_flash is False:
@@ -209,6 +213,22 @@ class Gemma3Attention(nn.Module):
         cfg = self.cfg
         B, T, _ = x.shape
         q, k, v = self._qkv(params, x, positions, ctx)
+
+        if self.cp_spec is not None and kv_write is None:
+            # Context-parallel scoring: K/V blocks are sequence-sharded across
+            # the mesh axis; the ring (or gathered) attend consumes GLOBAL
+            # positions carried in ``positions`` and ignores ``mask`` (each
+            # ring step rebuilds the causal/window mask for the block it
+            # currently holds). Decode-with-cache stays on the TP engine.
+            from onnx_quantize_tpu.parallel.cp import cp_attend
+
+            cp_axis, cp_size, cp_mode = self.cp_spec
+            out = cp_attend(
+                q, k, v, positions, cfg=cfg, is_global=self.is_global,
+                axis=cp_axis, size=cp_size, mode=cp_mode,
+            )
+            out = out.reshape(B, T, cfg.num_heads * cfg.head_dim)
+            return self.o_proj(params["o_proj"], out.astype(x.dtype), ctx=ctx)
 
         if kv_write is not None:
             # Engine path: merge with cached K/V (see engine/kv_cache.py).

@@ -4,6 +4,11 @@ from onnx_quantize_tpu.parallel.sharding import (
     qtensor_shardings,
     shard_params,
 )
+from onnx_quantize_tpu.parallel.cp import (
+    cp_logits,
+    make_cp_mesh,
+    zigzag_permutation,
+)
 from onnx_quantize_tpu.parallel.ep import a2a_moe_mlp
 from onnx_quantize_tpu.parallel.pp import (
     make_pipeline_mesh,
@@ -18,6 +23,9 @@ from onnx_quantize_tpu.parallel.tp import (
 
 __all__ = [
     "a2a_moe_mlp",
+    "cp_logits",
+    "make_cp_mesh",
+    "zigzag_permutation",
     "make_pipeline_mesh",
     "pipeline_stage_params",
     "pp_logits",
