@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from onnx_quantize_tpu.calibration.base import Calibrator
+from onnx_quantize_tpu.calibration.entropy import EntropyCalibrator
 from onnx_quantize_tpu.calibration.minmax import MinMaxCalibrator
 from onnx_quantize_tpu.calibration.percentile import PercentileCalibrator
 from onnx_quantize_tpu.core.qconfig import CalibrationMethod
@@ -12,6 +13,7 @@ __all__ = ["get_calibrator", "register_calibrator"]
 _CALIBRATORS: dict[CalibrationMethod, type[Calibrator]] = {
     CalibrationMethod.MINMAX: MinMaxCalibrator,
     CalibrationMethod.PERCENTILE: PercentileCalibrator,
+    CalibrationMethod.ENTROPY: EntropyCalibrator,
 }
 
 

@@ -79,6 +79,7 @@ class Backend(str, enum.Enum):
 class CalibrationMethod(enum.Enum):
     MINMAX = "minmax"
     PERCENTILE = "percentile"
+    ENTROPY = "entropy"
 
 
 class CalibrationParams(BaseModel):

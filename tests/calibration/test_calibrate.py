@@ -75,7 +75,7 @@ class TestFactory:
 
     def test_unknown_method(self):
         with pytest.raises(ValueError):
-            get_calibrator("entropy")
+            get_calibrator("kl-nope")
 
 
 class TestCalibrateModel:

@@ -249,7 +249,8 @@ class TestCalibrationParams:
 
     def test_invalid_method(self):
         with pytest.raises(ValueError, match="Invalid calibration method"):
-            CalibrationParams(method="entropy")
+            CalibrationParams(method="kl-nope")
+        assert CalibrationParams(method="entropy").method.value == "entropy"
 
     def test_momentum_range(self):
         with pytest.raises(ValueError, match="Momentum"):
