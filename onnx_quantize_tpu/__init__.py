@@ -28,6 +28,7 @@ from onnx_quantize_tpu.algorithms.gptq import GPTQConfig
 from onnx_quantize_tpu.algorithms.hqq import HqqConfig
 from onnx_quantize_tpu.prepasses.smooth_quant import SmoothQuantConfig
 from onnx_quantize_tpu.prepasses.awq import AwqConfig
+from onnx_quantize_tpu.prepasses.rotate import RotateConfig
 
 from onnx_quantize_tpu.quantize import quantize
 
@@ -43,6 +44,7 @@ __all__ = [
     "GPTQConfig",
     "HqqConfig",
     "AwqConfig",
+    "RotateConfig",
     "SmoothQuantConfig",
     "CalibrationParams",
     "Backend",

@@ -17,11 +17,13 @@ from onnx_quantize_tpu.calibration import calibrate_model
 from onnx_quantize_tpu.core.qconfig import QConfig
 from onnx_quantize_tpu.plan import QuantPlan, stamp_qconfig
 from onnx_quantize_tpu.prepasses.awq import AwqConfig, AwqPass
+from onnx_quantize_tpu.prepasses.rotate import RotateConfig, RotatePass
 from onnx_quantize_tpu.prepasses.smooth_quant import SmoothQuantConfig, SmoothQuantPass
 
 logger = get_logger(__name__)
 
-__all__ = ["apply_pre_passes", "AwqConfig", "AwqPass", "SmoothQuantConfig", "SmoothQuantPass"]
+__all__ = ["apply_pre_passes", "AwqConfig", "AwqPass", "RotateConfig",
+           "RotatePass", "SmoothQuantConfig", "SmoothQuantPass"]
 
 
 def _needs_calibration(qconfig: QConfig) -> bool:
