@@ -99,7 +99,7 @@ class InferenceEngine:
         params,
         max_batch: int = 8,
         max_seq: int = 2048,
-        kv_quant: bool = False,
+        kv_quant: bool | str = False,
         dtype=jnp.float32,
         mesh=None,
         data_axis: str = "data",
@@ -120,8 +120,24 @@ class InferenceEngine:
         # serving scale — measured 0.35x vs 1.19x on the 270M headline
         # (BENCH.md round 2). It remains available for shapes where explicit
         # blockwise streaming pays.
+        # kv_quant: False | True/"int8" | "int4" (packed nibbles, half the
+        # cache bytes again — see kv_cache.py).
+        if kv_quant in (False, None):
+            kv_bits = 8
+            kv_quant = False
+        elif kv_quant in (True, "int8"):
+            kv_bits = 8
+            kv_quant = True
+        elif kv_quant == "int4":
+            kv_bits = 4
+            kv_quant = True
+        else:
+            raise ValueError(
+                f"kv_quant must be False, True/'int8', or 'int4', got {kv_quant!r}"
+            )
         fusable = (
-            kv_quant and cfg.head_dim % 128 == 0 and max_seq % 128 == 0
+            kv_quant and kv_bits == 8
+            and cfg.head_dim % 128 == 0 and max_seq % 128 == 0
         )
         if fused_attention == "auto":
             self._fused_attn = False
@@ -142,6 +158,7 @@ class InferenceEngine:
             num_kv_heads=cfg.num_kv_heads,
             head_dim=cfg.head_dim,
             quantized=kv_quant,
+            bits=kv_bits,
             dtype=dtype,
         )
         # Fused W4 MLP megakernel (ops/kernels/mlp_w4.py): per-shape

@@ -258,7 +258,7 @@ class Gemma3Attention(nn.Module):
                 group = cfg.num_heads // cfg.num_kv_heads
                 qg = q.reshape(B, T, cfg.num_kv_heads, group, cfg.head_dim)
                 logits = jnp.einsum(
-                    "btkgh,bskh->bkgts", qg, kv.k.astype(q.dtype)
+                    "btkgh,bskh->bkgts", qg, kv.k_ints().astype(q.dtype)
                 )
                 ks = jnp.transpose(kv.k_scale, (0, 2, 1))  # (B, Hkv, S) f32
                 logits = (
@@ -268,7 +268,7 @@ class Gemma3Attention(nn.Module):
                 probs = jax.nn.softmax(logits, axis=-1)
                 vs = jnp.transpose(kv.v_scale, (0, 2, 1))
                 pv = (probs * vs[:, :, None, None, :]).astype(q.dtype)
-                out = jnp.einsum("bkgts,bskh->btkgh", pv, kv.v.astype(q.dtype))
+                out = jnp.einsum("bkgts,bskh->btkgh", pv, kv.v_ints().astype(q.dtype))
                 out = out.reshape(B, T, cfg.num_heads * cfg.head_dim)
                 return self.o_proj(params["o_proj"], out.astype(x.dtype), ctx=ctx)
             k, v = kv

@@ -21,9 +21,9 @@ from onnx_quantize_tpu.engine.kv_cache import (
 )
 
 
-def _cfg(quantized, L=2, B=3, S=8, H=2, D=4):
+def _cfg(quantized, L=2, B=3, S=8, H=2, D=4, bits=8):
     return KVCacheConfig(num_layers=L, batch=B, max_seq=S, num_kv_heads=H,
-                         head_dim=D, quantized=quantized)
+                         head_dim=D, quantized=quantized, bits=bits)
 
 
 @pytest.mark.parametrize("quantized", [False, True])
@@ -96,3 +96,63 @@ def test_read_kv_dequantizes(rng):
     qv = read_kv_quantized(cache, 0)
     manual = np.asarray(qv.k, np.float32) * np.asarray(qv.k_scale)[..., None]
     np.testing.assert_allclose(np.asarray(kf), manual, rtol=1e-6)
+
+
+# ── int4 (packed) cache ──────────────────────────────────────────────────────
+
+
+def test_int4_init_shapes():
+    cache = init_cache(_cfg(True, bits=4))
+    assert cache["k"].shape == (2, 3, 8, 2, 2)  # D/2 packed bytes
+    assert cache["k"].dtype == jnp.uint8
+    assert cache["k_scale"].shape == (2, 3, 8, 2)
+
+
+def test_int4_rejects_odd_head_dim_and_bad_bits():
+    with pytest.raises(ValueError, match="even head_dim"):
+        init_cache(_cfg(True, bits=4, D=5))
+    with pytest.raises(ValueError, match="bits"):
+        init_cache(_cfg(True, bits=3))
+
+
+def test_nibble_pack_roundtrip(rng):
+    from onnx_quantize_tpu.engine.kv_cache import pack_nibbles, unpack_nibbles
+
+    q = jnp.asarray(rng.integers(-8, 8, size=(3, 5, 2, 6)), jnp.int8)
+    packed = pack_nibbles(q)
+    assert packed.dtype == jnp.uint8 and packed.shape == (3, 5, 2, 3)
+    np.testing.assert_array_equal(np.asarray(unpack_nibbles(packed)), np.asarray(q))
+
+
+def test_int4_quantize_roundtrip_error_bound(rng):
+    from onnx_quantize_tpu.engine.kv_cache import _quantize_sym4, unpack_nibbles
+
+    x = jnp.asarray(rng.standard_normal((3, 1, 2, 4)) * 5.0, jnp.float32)
+    packed, scale = _quantize_sym4(x)
+    dq = np.asarray(unpack_nibbles(packed), np.float32) * np.asarray(scale)[..., None]
+    # Symmetric ±7 levels: |err| <= scale/2 per element.
+    assert np.all(np.abs(dq - np.asarray(x)) <= np.asarray(scale)[..., None] / 2 + 1e-6)
+
+
+def test_int4_write_read_dequantizes(rng):
+    cache = init_cache(_cfg(True, bits=4))
+    k = jnp.asarray(rng.standard_normal((3, 2, 2, 4)), jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32)[None], (3, 2))
+    cache = write_kv(cache, 0, k, k, positions)
+    kf, _ = read_kv(cache, 0)
+    # ±7 levels: per-element error <= absmax/14 over the (token, head) row.
+    absmax = np.abs(np.asarray(k)).max(-1, keepdims=True)
+    assert np.all(np.abs(np.asarray(kf[:, :2]) - np.asarray(k)) <= absmax / 14 + 1e-6)
+    qv = read_kv_quantized(cache, 0)
+    manual = np.asarray(qv.k_ints(), np.float32) * np.asarray(qv.k_scale)[..., None]
+    np.testing.assert_allclose(np.asarray(kf), manual, rtol=1e-6)
+
+
+def test_int4_write_at_capacity_drops(rng):
+    cache = init_cache(_cfg(True, bits=4))
+    k = jnp.asarray(rng.standard_normal((3, 1, 2, 4)), jnp.float32)
+    positions = jnp.asarray([[8], [3], [8]], jnp.int32)
+    new = write_kv(cache, 0, k, k, positions)
+    out = np.asarray(new["k"][0])
+    assert not out[0].any() and not out[2].any()
+    assert out[1, 3].any()
