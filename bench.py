@@ -201,10 +201,17 @@ def main():
         batch, prompt_len, steps, max_seq = 2, 16, 8, 64
 
     head = "w4" if model_name == "4b" else "int8"
+    # OQT_BENCH_KV=int4 runs the quantized arm on the packed int4 KV cache
+    # (kv_cache.py); default int8. OQT_BENCH_SEQ stretches the context
+    # (prompt fills all but `steps` of it) for KV-bound regimes.
+    kv_mode = os.environ.get("OQT_BENCH_KV", "int8")
+    if "OQT_BENCH_SEQ" in os.environ:
+        max_seq = int(os.environ["OQT_BENCH_SEQ"])
+        prompt_len = max_seq - 4 * steps
     model_q, params_q = _build(cfg, quantized=True, cpu_device=cpu, head=head)
     tput_q, lo_q, hi_q = _decode_tput(
         model_q, params_q, device, batch=batch, prompt_len=prompt_len,
-        steps=steps, max_seq=max_seq,
+        steps=steps, max_seq=max_seq, kv_quant=kv_mode,
     )
 
     model_f, params_f = _build(cfg, quantized=False, cpu_device=cpu)

@@ -59,6 +59,7 @@ __all__ = [
     "make_cp_mesh",
     "cp_localize",
     "cp_logits",
+    "make_cp_forward",
     "zigzag_permutation",
     "cp_attend",
 ]
@@ -191,6 +192,49 @@ def cp_localize(model, *, axis: str = "seq", size: int, mode: str = "ring"):
     return local
 
 
+def make_cp_forward(model, mesh: Mesh, seq_len: int, *, axis: str = "seq",
+                    mode: str = "ring", layout: str = "contiguous"):
+    """One reusable jitted CP forward for fixed-length sequences.
+
+    Returns ``forward(params, ids) -> logits`` where ``ids`` is (B, seq_len);
+    the shard_map program compiles ONCE and is reused across calls (the
+    repeated-window pattern — perplexity sweeps, calibration batches).
+    """
+    C = mesh.shape[axis]
+    if seq_len % C != 0:
+        raise ValueError(f"seq len {seq_len} not divisible by cp shards {C}")
+    if layout == "zigzag":
+        perm = zigzag_permutation(seq_len, C)
+    elif layout == "contiguous":
+        perm = np.arange(seq_len)
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    inv = np.argsort(perm)
+    perm_j = jnp.asarray(perm, jnp.int32)
+
+    local = cp_localize(model, axis=axis, size=C, mode=mode)
+
+    def fwd(p, ids_loc, pos_loc):
+        return local(p, ids_loc, positions=pos_loc)
+
+    fn = jax.jit(shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(None, axis)),
+        out_specs=P(None, axis),
+        check_vma=False,
+    ))
+
+    def forward(params, ids):
+        B, T = ids.shape
+        if T != seq_len:
+            raise ValueError(f"expected seq len {seq_len}, got {T}")
+        ids_p = jnp.asarray(ids, jnp.int32)[:, perm_j]
+        positions = jnp.broadcast_to(perm_j[None, :], (B, T))
+        return fn(params, ids_p, positions)[:, inv]
+
+    return forward
+
+
 def cp_logits(model, params, ids, mesh: Mesh, *, axis: str = "seq",
               mode: str = "ring", layout: str = "contiguous"):
     """Full-sequence logits with tokens sharded over ``axis``.
@@ -200,32 +244,7 @@ def cp_logits(model, params, ids, mesh: Mesh, *, axis: str = "seq",
     ``layout="zigzag"`` balances causal work across the ring (needs
     ``T % (2 * shards) == 0``); ``"contiguous"`` shards ``T`` in order.
     """
-    C = mesh.shape[axis]
-    B, T = ids.shape
-    if T % C != 0:
-        raise ValueError(f"seq len {T} not divisible by cp shards {C}")
-    if layout == "zigzag":
-        perm = zigzag_permutation(T, C)
-    elif layout == "contiguous":
-        perm = np.arange(T)
-    else:
-        raise ValueError(f"unknown layout {layout!r}")
-    inv = np.argsort(perm)
-
-    local = cp_localize(model, axis=axis, size=C, mode=mode)
-    ids_p = jnp.asarray(ids, jnp.int32)[:, perm]
-    positions = jnp.broadcast_to(
-        jnp.asarray(perm, jnp.int32)[None, :], (B, T)
+    forward = make_cp_forward(
+        model, mesh, ids.shape[1], axis=axis, mode=mode, layout=layout
     )
-
-    def fwd(p, ids_loc, pos_loc):
-        return local(p, ids_loc, positions=pos_loc)
-
-    fn = shard_map(
-        fwd, mesh=mesh,
-        in_specs=(P(), P(None, axis), P(None, axis)),
-        out_specs=P(None, axis),
-        check_vma=False,
-    )
-    logits = jax.jit(fn)(params, ids_p, positions)
-    return logits[:, inv]
+    return forward(params, ids)

@@ -53,13 +53,33 @@ def perplexity_from_tokens(
     input_ids: np.ndarray,
     max_length: int = 2048,
     stride: int = 512,
+    mesh=None,
+    cp_mode: str = "ring",
 ) -> float:
-    """Sliding-window perplexity of a framework causal LM over a token stream."""
+    """Sliding-window perplexity of a framework causal LM over a token stream.
+
+    ``mesh``: a context-parallel ``jax.sharding.Mesh`` (axis "seq") shards
+    each window's tokens across devices and scores it with ring attention
+    (``parallel/cp.py``) — windows longer than one chip's activation budget
+    become scoreable, and per-device attention memory drops to O(T/C). The
+    windowing/NLL math is unchanged; one shard_map program is compiled and
+    reused for every window.
+    """
     seq_len = len(input_ids)
 
-    @functools.partial(jax.jit, static_argnums=())
-    def forward(p, ids):
-        return model(p, ids)
+    if mesh is not None:
+        from onnx_quantize_tpu.parallel.cp import make_cp_forward
+
+        shards = mesh.shape[mesh.axis_names[0]]
+        layout = "zigzag" if max_length % (2 * shards) == 0 else "contiguous"
+        forward = make_cp_forward(
+            model, mesh, max_length, axis=mesh.axis_names[0], mode=cp_mode,
+            layout=layout,
+        )
+    else:
+        @functools.partial(jax.jit, static_argnums=())
+        def forward(p, ids):
+            return model(p, ids)
 
     total_nll = 0.0
     total_tokens = 0
@@ -108,6 +128,7 @@ def perplexity_eval(
     text_path: str | None = None,
     max_length: int = 2048,
     stride: int = 512,
+    mesh=None,
 ) -> float:
     """Resolve a token stream (dataset / text file / .npy) and evaluate."""
     if tokens_path is not None:
@@ -120,7 +141,8 @@ def perplexity_eval(
         input_ids = tokenizer(text, return_tensors="np").input_ids[0]
     else:
         input_ids = load_wikitext_tokens(model_id)
-    return perplexity_from_tokens(model, params, input_ids, max_length, stride)
+    return perplexity_from_tokens(model, params, input_ids, max_length, stride,
+                                  mesh=mesh)
 
 
 def main():

@@ -66,3 +66,20 @@ def test_quantized_ppl_delta_small(tiny, rng):
     qparams, _ = oqt.quantize(model, params, qc)
     ppl_q = perplexity_from_tokens(model, qparams, tokens, max_length=16, stride=8)
     assert abs(ppl_q - ppl_fp) / ppl_fp < 0.02
+
+
+def test_cp_mesh_ppl_matches_single_device(rng):
+    """Context-parallel scoring: the same sliding-window ppl with windows
+    sharded over a 'seq' mesh (ring attention) — long-context windows that
+    exceed one chip score identically."""
+    from onnx_quantize_tpu.models.llama import tiny_llama_config
+    from onnx_quantize_tpu.parallel import make_cp_mesh
+
+    model = Gemma3(tiny_llama_config(num_layers=2))
+    params = model.init(jax.random.key(1))
+    tokens = rng.integers(1, 250, size=50).astype(np.int32)
+    ppl = perplexity_from_tokens(model, params, tokens, max_length=16, stride=8)
+    ppl_cp = perplexity_from_tokens(
+        model, params, tokens, max_length=16, stride=8, mesh=make_cp_mesh(4)
+    )
+    assert ppl_cp == pytest.approx(ppl, rel=1e-3)
