@@ -6,7 +6,10 @@ from onnx_quantize_tpu.parallel.sharding import (
 )
 from onnx_quantize_tpu.parallel.cp import (
     cp_logits,
+    cp_tp_logits,
+    make_cp_forward,
     make_cp_mesh,
+    make_cp_tp_mesh,
     zigzag_permutation,
 )
 from onnx_quantize_tpu.parallel.ep import a2a_moe_mlp
@@ -24,7 +27,10 @@ from onnx_quantize_tpu.parallel.tp import (
 __all__ = [
     "a2a_moe_mlp",
     "cp_logits",
+    "cp_tp_logits",
+    "make_cp_forward",
     "make_cp_mesh",
+    "make_cp_tp_mesh",
     "zigzag_permutation",
     "make_pipeline_mesh",
     "pipeline_stage_params",

@@ -57,8 +57,10 @@ logger = get_logger(__name__)
 
 __all__ = [
     "make_cp_mesh",
+    "make_cp_tp_mesh",
     "cp_localize",
     "cp_logits",
+    "cp_tp_logits",
     "make_cp_forward",
     "zigzag_permutation",
     "cp_attend",
@@ -248,3 +250,65 @@ def cp_logits(model, params, ids, mesh: Mesh, *, axis: str = "seq",
         model, mesh, ids.shape[1], axis=axis, mode=mode, layout=layout
     )
     return forward(params, ids)
+
+
+def make_cp_tp_mesh(seq_shards: int, tp: int, devices=None,
+                    seq_axis: str = "seq", model_axis: str = "model") -> Mesh:
+    """(seq x model) 2D mesh: ring hops ride one axis, TP psums the other."""
+    if devices is None:
+        devices = jax.devices()
+    n = seq_shards * tp
+    if len(devices) < n:
+        raise ValueError(f"need >= {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(seq_shards, tp)
+    return Mesh(grid, (seq_axis, model_axis))
+
+
+def cp_tp_logits(model, params, ids, mesh: Mesh, *, seq_axis: str = "seq",
+                 model_axis: str = "model", mode: str = "ring",
+                 layout: str = "contiguous"):
+    """2D-parallel scoring: ring attention over ``seq`` x Megatron TP over
+    ``model`` in ONE shard_map program.
+
+    Tokens shard the seq axis (K/V ring over local heads); weights shard the
+    model axis per ``Gemma3.tp_localize``'s rules (column/row projections,
+    one psum per pair, vocab-sharded embedding, single logits all-gather).
+    The two collective families never mix: ppermute hops ride the seq
+    submesh, psums/all-gathers the model submesh. Numerically equal to the
+    single-device forward (same tolerances as ``cp_logits``).
+    """
+    from onnx_quantize_tpu.parallel.tp import build_param_specs, localize_params
+
+    C = mesh.shape[seq_axis]
+    tp = mesh.shape[model_axis]
+    B, T = ids.shape
+    if T % C != 0:
+        raise ValueError(f"seq len {T} not divisible by cp shards {C}")
+    if layout == "zigzag":
+        perm = zigzag_permutation(T, C)
+    elif layout == "contiguous":
+        perm = np.arange(T)
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    inv = np.argsort(perm)
+
+    local, rules = model.tp_localize(tp, axis=model_axis)
+    local.use_flash = False
+    for block in local.blocks:
+        block.attn.cp_spec = (seq_axis, C, mode)
+    lparams = localize_params(params, rules, tp)
+    pspecs = build_param_specs(lparams, rules, axis=model_axis)
+
+    ids_p = jnp.asarray(ids, jnp.int32)[:, perm]
+    positions = jnp.broadcast_to(jnp.asarray(perm, jnp.int32)[None, :], (B, T))
+
+    def fwd(p, ids_loc, pos_loc):
+        return local(p, ids_loc, positions=pos_loc)
+
+    fn = jax.jit(shard_map(
+        fwd, mesh=mesh,
+        in_specs=(pspecs, P(None, seq_axis), P(None, seq_axis)),
+        out_specs=P(None, seq_axis),
+        check_vma=False,
+    ))
+    return fn(lparams, ids_p, positions)[:, inv]

@@ -106,3 +106,34 @@ def test_cp_validation_errors():
         cp_logits(model, params, _ids(), make_cp_mesh(4), mode="nope")
     with pytest.raises(ValueError, match="unknown layout"):
         cp_logits(model, params, _ids(), make_cp_mesh(4), layout="nope")
+
+
+def test_cp_tp_2d_matches_single_device():
+    """2D (seq x model): ring attention + Megatron TP in one shard_map —
+    ppermutes ride the seq submesh, psums the model submesh."""
+    from onnx_quantize_tpu.parallel import cp_tp_logits, make_cp_tp_mesh
+
+    model, params = _llama()
+    ids = _ids()
+    ref = np.asarray(model(params, ids))
+    for seq_shards, tp in ((4, 2), (2, 4)):
+        out = np.asarray(cp_tp_logits(
+            model, params, ids, make_cp_tp_mesh(seq_shards, tp),
+        ))
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_cp_tp_2d_quantized_zigzag():
+    from onnx_quantize_tpu.parallel import cp_tp_logits, make_cp_tp_mesh
+
+    model, params = _llama()
+    qc = oqt.QConfig(
+        weights=oqt.QWeightArgs(dtype="uint4", group_size=16), ignore=["lm_head"]
+    )
+    qparams, _ = oqt.quantize(model, params, qc)
+    ids = _ids()
+    ref = np.asarray(model(qparams, ids))
+    out = np.asarray(cp_tp_logits(
+        model, qparams, ids, make_cp_tp_mesh(4, 2), layout="zigzag",
+    ))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
