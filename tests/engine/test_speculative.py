@@ -204,3 +204,19 @@ def test_sampled_eos_stops(target_setup):
     assert got[0][-1] == eos or len(got[0]) == 10
     # The stream up to EOS matches the unstopped stream (same seeds).
     assert got[0] == probe[0][: len(got[0])]
+
+
+def test_int4_kv_speculative_exactness(target_setup):
+    """Speculative decode over int4 KV engines: the window verify path
+    (write_kv_window) must quantize/pack identically to the step path, so
+    speculative greedy == the int4 engine's own greedy."""
+    model, params = target_setup
+
+    def _i4(max_batch=2, max_seq=64):
+        return InferenceEngine(model, params, max_batch=max_batch,
+                               max_seq=max_seq, kv_quant="int4")
+
+    base = _i4().generate(PROMPTS, max_new_tokens=12)
+    spec = SpeculativeDecoder(_i4(), _i4(), k=3)
+    got = spec.generate(PROMPTS, max_new_tokens=12)
+    assert got == base

@@ -186,3 +186,25 @@ def test_rotate_composes_with_awq(rng):
     # (AWQ ran on rotated captured inputs without corrupting the model),
     # not improvement.
     assert err_both <= err_rot * 1.5
+
+
+def test_rotate_composes_with_gptq(rng):
+    """rotate -> GPTQ: post-calibration re-captures inputs from the ROTATED
+    model, so GPTQ's Hessian is built in the rotated basis. GPTQ must still
+    beat rotate-only RTN at the same config (its usual guarantee)."""
+    cfg = tiny_llama_config(num_layers=2)
+    model = Gemma3(cfg)
+    params = model.init(jax.random.key(6))
+    ids = _ids(batch=4, seq=8)
+    ref = np.asarray(model(params, ids))
+    common = dict(calibration_data=ids, ignore=["lm_head", "embed"])
+    qp_rtn, _ = oqt.quantize(model, params, oqt.QConfig(
+        weights=oqt.QWeightArgs(dtype="uint4", group_size=16),
+        preprocessors=[oqt.RotateConfig()], **common))
+    qp_gptq, _ = oqt.quantize(model, params, oqt.QConfig(
+        weights=oqt.QWeightArgs(dtype="uint4", group_size=16,
+                                algorithm=oqt.GPTQConfig()),
+        preprocessors=[oqt.RotateConfig()], **common))
+    err_rtn = float(np.mean((np.asarray(model(qp_rtn, ids)) - ref) ** 2))
+    err_gptq = float(np.mean((np.asarray(model(qp_gptq, ids)) - ref) ** 2))
+    assert err_gptq <= err_rtn * 1.05, (err_gptq, err_rtn)
