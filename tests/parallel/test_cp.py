@@ -137,3 +137,29 @@ def test_cp_tp_2d_quantized_zigzag():
         model, qparams, ids, make_cp_tp_mesh(4, 2), layout="zigzag",
     ))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_cp_tp_2d_moe_stacked_experts():
+    """2D on MoE: ring attention over seq while stacked experts shard the
+    model axis (EP psum) and the shared expert runs column->row TP — the
+    full (CP x EP) composition in one program."""
+    from onnx_quantize_tpu.models.gemma3 import fuse_gemma3_projections
+    from onnx_quantize_tpu.models.moe import stack_moe_experts
+    from onnx_quantize_tpu.parallel import cp_tp_logits, make_cp_tp_mesh
+
+    cfg = tiny_moe_config(
+        shared_expert_size=128, num_heads=4, num_kv_heads=2,
+        hidden_size=64, head_dim=32, moe_intermediate_size=96,
+    )
+    model = Gemma3(cfg)
+    params = model.init(jax.random.key(3))
+    qc = oqt.QConfig(
+        weights=oqt.QWeightArgs(dtype="uint4", group_size=16),
+        ignore=[r"\.router$", r"\.shared_gate$"],
+    )
+    qparams, _ = oqt.quantize(model, params, qc)
+    stacked = stack_moe_experts(fuse_gemma3_projections(qparams))
+    ids = _ids(batch=2, seq=16)
+    ref = np.asarray(model(stacked, ids))
+    out = np.asarray(cp_tp_logits(model, stacked, ids, make_cp_tp_mesh(4, 2)))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)

@@ -208,3 +208,36 @@ def test_rotate_composes_with_gptq(rng):
     err_rtn = float(np.mean((np.asarray(model(qp_rtn, ids)) - ref) ** 2))
     err_gptq = float(np.mean((np.asarray(model(qp_gptq, ids)) - ref) ** 2))
     assert err_gptq <= err_rtn * 1.05, (err_gptq, err_rtn)
+
+
+def test_rotation_recovers_activation_quant_error(rng):
+    """The OTHER QuaRot claim: rotation tames ACTIVATION outliers. Outlier
+    stream channels make per-tensor static int8 activation scales terrible;
+    rotating the stream spreads them before the activation quantizer sees
+    them."""
+    cfg = tiny_llama_config(num_layers=2)
+    model = Gemma3(cfg)
+    params = model.init(jax.random.key(7))
+    hot = [3, 17, 40]
+    for leaf in [params["embed"]] + [
+        params[f"layers.{i}"][m][p]
+        for i in range(cfg.num_layers)
+        for m, p in (("attn", "o_proj"), ("mlp", "down_proj"))
+    ]:
+        w = np.asarray(leaf["w"]).copy()
+        w[:, hot] *= 30.0
+        leaf["w"] = w
+    ids = _ids(batch=4, seq=8)
+    ref = np.asarray(model(params, ids))
+    common = dict(
+        weights=oqt.QWeightArgs(dtype="int8"),
+        input_activations=oqt.QActivationArgs(dtype="int8"),
+        calibration_data=ids,
+        ignore=["lm_head", "embed"],
+    )
+    qp_plain, _ = oqt.quantize(model, params, oqt.QConfig(**common))
+    qp_rot, _ = oqt.quantize(model, params, oqt.QConfig(
+        preprocessors=[oqt.RotateConfig(seed=9)], **common))
+    err_plain = float(np.mean((np.asarray(model(qp_plain, ids)) - ref) ** 2))
+    err_rot = float(np.mean((np.asarray(model(qp_rot, ids)) - ref) ** 2))
+    assert err_rot < 0.5 * err_plain, (err_rot, err_plain)
