@@ -8,17 +8,24 @@ stops improving. HQQ's constraints (uint4, asymmetric, group, group_size ≥ 16
 power of two) are enforced through ``validate_weight_args``, and the zero point
 stays in float (zp_dtype forced to scale_dtype).
 
-The iteration is a fixed small count (default 20) over the whole weight at once,
-so it runs as vectorized jnp ops (device-resident on TPU); the early-stop
-comparison syncs one scalar per iteration.
+The optimization loop is a single jitted ``lax.fori_loop`` with carried
+(zp, best_error, best_zp, stopped): a fixed trip count with a "stopped" latch
+reproduces the reference's early-stop break exactly (once the error stops
+improving, the carry freezes, so later iterations are no-ops), while the whole
+loop stays device-resident with zero per-iteration host syncs. The beta
+schedule (β·κ^i) is precomputed on the host in float64 to match the reference's
+Python-float accumulation.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import TYPE_CHECKING, Literal
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from onnx_quantize_tpu.core.dtypes import QuantType
 from onnx_quantize_tpu.core.enums import QuantizationStrategy
@@ -98,41 +105,70 @@ class HqqConfig(AlgorithmConfig):
         )
 
 
-def _shrink_op(x, beta: float, lp_norm: float):
+def _shrink_op(x, inv_beta, lp_norm: float):
+    """``sign(x)·relu(|x| − β⁻¹·(|x|+1e-8)^(p−1))`` (HQQ paper eq. 5)."""
     return jnp.sign(x) * jnp.maximum(
-        0.0, jnp.abs(x) - (1.0 / beta) * jnp.power(jnp.abs(x) + 1e-8, lp_norm - 1)
+        0.0, jnp.abs(x) - inv_beta * jnp.power(jnp.abs(x) + 1e-8, lp_norm - 1)
     )
+
+
+@partial(jax.jit, static_argnames=("lp_norm", "qmin", "qmax", "iters", "early_stop"))
+def _hqq_zp_loop(w_f, inv_scale, zp0, inv_betas, *, lp_norm: float,
+                 qmin: float, qmax: float, iters: int, early_stop: bool):
+    """Device-resident alternating-prox loop; returns the best zero point.
+
+    Semantics match the reference loop (``hqq.py:106-144``) exactly: the error
+    of the *current* zp is evaluated before the zp update; on improvement the
+    current zp becomes the best; on the first non-improvement with early_stop
+    the carry latches (``stopped``) and every later iteration recomputes the
+    identical frozen state, so the result equals a Python-level ``break``.
+    """
+
+    def body(i, carry):
+        zp, best_err, best_zp, stopped = carry
+        w_q = jnp.clip(jnp.round(w_f * inv_scale + zp), qmin, qmax)
+        w_r = (w_q - zp) / inv_scale
+        w_e = _shrink_op(w_f - w_r, inv_betas[i], lp_norm)
+
+        err = jnp.mean(jnp.abs(w_f - w_r))
+        improved = err < best_err
+        take = improved & ~stopped
+        best_err = jnp.where(take, err, best_err)
+        best_zp = jnp.where(take, zp, best_zp)
+        if early_stop:
+            stopped = stopped | ~improved
+
+        zp_next = jnp.mean(w_q - (w_f - w_e) * inv_scale, axis=1, keepdims=True)
+        zp = jnp.where(stopped, zp, zp_next)
+        return zp, best_err, best_zp, stopped
+
+    init = (zp0, jnp.asarray(jnp.inf, w_f.dtype), zp0, jnp.asarray(False))
+    _, _, best_zp, _ = lax.fori_loop(0, iters, body, init)
+    return best_zp
 
 
 def _optimize_zero_point(w_f, scale, zero_point, quant_type: QuantType,
                          reduce_range: bool, lp_norm: float, beta: float,
                          kappa: float, iters: int, early_stop: bool):
     """Alternating prox updates on the zero point (ref ``hqq.py:106-144``)."""
-    best_error = np.inf
-    best_zp = np.asarray(zero_point).copy()
-
-    inv_scale = 1.0 / jnp.asarray(scale)  # HQQ works with the inverted scale
-    zero_point = jnp.asarray(zero_point)
-    w_f = jnp.asarray(w_f)
     qmin, qmax = quant_type.qrange(is_symmetric=False, reduce_range=reduce_range)
-
-    for _ in range(iters):
-        w_q = jnp.clip(jnp.round(w_f * inv_scale + zero_point), qmin, qmax)
-        w_r = (w_q - zero_point) / inv_scale
-        w_e = _shrink_op(w_f - w_r, beta, lp_norm)
-
-        beta *= kappa
-
-        current_error = float(jnp.mean(jnp.abs(w_f - w_r)))
-        if current_error < best_error:
-            best_error = current_error
-            best_zp = np.asarray(zero_point).copy()
-        elif early_stop:
-            break
-
-        zero_point = jnp.mean(w_q - (w_f - w_e) * inv_scale, axis=1, keepdims=True)
-
-    return best_zp
+    # β·κ^i accumulated in host float64 (matches the reference's Python floats),
+    # inverted there, then shipped once as an f32 vector.
+    inv_betas = np.asarray(
+        [1.0 / (beta * kappa**i) for i in range(max(iters, 1))], np.float32
+    )
+    best_zp = _hqq_zp_loop(
+        jnp.asarray(w_f),
+        1.0 / jnp.asarray(scale),  # HQQ works with the inverted scale
+        jnp.asarray(zero_point),
+        jnp.asarray(inv_betas),
+        lp_norm=float(lp_norm),
+        qmin=float(qmin),
+        qmax=float(qmax),
+        iters=int(iters),
+        early_stop=bool(early_stop),
+    )
+    return np.asarray(best_zp)
 
 
 def hqq_quantize(

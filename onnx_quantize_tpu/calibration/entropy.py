@@ -111,7 +111,13 @@ class EntropyCalibrator(Calibrator):
         assert bins > num_quantized_bins > 0, (
             "need bins > num_quantized_bins > 0"
         )
-        del momentum  # accepted for CalibrationParams compatibility; unused
+        if momentum:
+            # Accepted for CalibrationParams signature compatibility, but the
+            # KL scheme accumulates a full histogram (no EMA smoothing).
+            logger.warning(
+                "EntropyCalibrator ignores momentum=%s: KL calibration "
+                "accumulates histograms over all batches (no EMA).", momentum
+            )
         self.bins = bins
         self.num_quantized_bins = num_quantized_bins
         self._hists: dict[str, _AbsHist] = {}

@@ -217,8 +217,9 @@ def compute_min_max_mse(array, quant_type, strategy, group_size, is_symmetric,
             best_error = np.where(improved, err, best_error)
             best_min = np.where(improved, p * np.asarray(rmin), best_min)
             best_max = np.where(improved, p * np.asarray(rmax), best_max)
-            no_improve = 0
         else:
+            # The reference counts non-improving iterations CUMULATIVELY —
+            # the counter is never reset on improvement (utils.py:225-239).
             no_improve += 1
         if no_improve >= patience:
             break

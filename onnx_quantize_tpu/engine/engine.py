@@ -122,6 +122,7 @@ class InferenceEngine:
         # blockwise streaming pays.
         # kv_quant: False | True/"int8" | "int4" (packed nibbles, half the
         # cache bytes again — see kv_cache.py).
+        kv_quant_arg = kv_quant  # keep the caller's spelling for error text
         if kv_quant in (False, None):
             kv_bits = 8
             kv_quant = False
@@ -145,7 +146,8 @@ class InferenceEngine:
             if not fusable:
                 raise ValueError(
                     "fused_attention requires an int8 KV cache, head_dim % 128"
-                    f" == 0 and max_seq % 128 == 0 (got kv_quant={kv_quant}, "
+                    f" == 0 and max_seq % 128 == 0 (got kv_quant="
+                    f"{kv_quant_arg!r} [{kv_bits}-bit], "
                     f"head_dim={cfg.head_dim}, max_seq={max_seq})"
                 )
             self._fused_attn = True

@@ -23,9 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from onnx_quantize_tpu import nn
+from onnx_quantize_tpu._logging import get_logger
 from onnx_quantize_tpu.core.enums import QFormat
 from onnx_quantize_tpu.nn.layers import Embedding, RMSNorm, apply_rope
 from onnx_quantize_tpu.nn.module import Context, InputSpec
+
+logger = get_logger(__name__)
 
 __all__ = [
     "Gemma3Config", "Gemma3", "Gemma3MoEMLP",
@@ -220,6 +223,16 @@ class Gemma3Attention(nn.Module):
             # positions carried in ``positions`` and ignores ``mask`` (each
             # ring step rebuilds the causal/window mask for the block it
             # currently holds). Decode-with-cache stays on the TP engine.
+            # The decoder passes mask=None when CP is active; warn (at trace
+            # time) if an external caller hands us a custom mask that would
+            # be silently dropped — CP only reproduces the causal/window mask.
+            if mask is not None:
+                logger.warning(
+                    "Gemma3Attention: context-parallel attend ignores the "
+                    "supplied mask and rebuilds the causal/sliding-window "
+                    "mask per ring block; custom (e.g. padding) masks are "
+                    "not applied under CP."
+                )
             from onnx_quantize_tpu.parallel.cp import cp_attend
 
             cp_axis, cp_size, cp_mode = self.cp_spec
@@ -713,13 +726,21 @@ class Gemma3Block(nn.Module):
         return x + h
 
 
-def make_attention_mask(cfg: Gemma3Config, positions, kv_positions, is_global: bool):
-    """Additive mask (B, 1, T, S): causal, plus sliding window on local layers."""
+def make_attention_valid(cfg: Gemma3Config, positions, kv_positions, is_global: bool):
+    """Boolean visibility (B, 1, T, S): causal, plus sliding window on local
+    layers. Single source of truth for both the additive mask and any
+    block-skip predicates (parallel/cp.py derives its fully-masked-block skip
+    from this tensor, never from the additive values)."""
     valid = kv_positions[:, None, :] <= positions[:, :, None]  # causal
     if not is_global:
         valid &= kv_positions[:, None, :] > positions[:, :, None] - cfg.sliding_window
-    mask = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
-    return mask[:, None, :, :]
+    return valid[:, None, :, :]
+
+
+def make_attention_mask(cfg: Gemma3Config, positions, kv_positions, is_global: bool):
+    """Additive mask (B, 1, T, S): 0 where visible, -1e30 where masked."""
+    valid = make_attention_valid(cfg, positions, kv_positions, is_global)
+    return jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
 
 
 def fuse_gemma3_projections(params: dict) -> dict:
@@ -809,8 +830,19 @@ class Gemma3(nn.Module):
             x = x * math.sqrt(cfg.hidden_size)
         x = x.astype(cfg.jnp_dtype)
 
-        mask_local = make_attention_mask(cfg, positions, kv_positions, is_global=False)
-        mask_global = make_attention_mask(cfg, positions, kv_positions, is_global=True)
+        # Under context parallelism (kv_write=None and cp_spec stamped on the
+        # attention layers) each ring step rebuilds its own causal/window mask
+        # from global positions — don't build (and silently drop) one here.
+        cp_active = (
+            kv_write is None
+            and bool(self.blocks)
+            and getattr(self.blocks[0].attn, "cp_spec", None) is not None
+        )
+        if cp_active:
+            mask_local = mask_global = None
+        else:
+            mask_local = make_attention_mask(cfg, positions, kv_positions, is_global=False)
+            mask_global = make_attention_mask(cfg, positions, kv_positions, is_global=True)
 
         use_flash = getattr(self, "use_flash", "auto")
         for i, block in enumerate(self.blocks):

@@ -105,7 +105,7 @@ def _ring_attend(q, k, v, q_pos, *, cfg, is_global: bool, axis: str, size: int):
     test), so the running max is real before any fully-masked block can
     contribute exp(0) artifacts and the final l is never zero.
     """
-    from onnx_quantize_tpu.models.gemma3 import make_attention_mask
+    from onnx_quantize_tpu.models.gemma3 import make_attention_valid
 
     B, Tl, Hq, D = q.shape
     Hkv = k.shape[2]
@@ -117,7 +117,11 @@ def _ring_attend(q, k, v, q_pos, *, cfg, is_global: bool, axis: str, size: int):
     kv_pos = q_pos
     ring = [(i, (i + 1) % size) for i in range(size)]
     for step in range(size):
-        mask = make_attention_mask(cfg, q_pos, kv_pos, is_global)  # (B,1,Tl,Sl)
+        # Both the additive mask and the skip predicate derive from the same
+        # boolean tensor, so any future additive-bias variants (ALiBi, soft
+        # caps) cannot desync visibility from the skip decision.
+        valid = make_attention_valid(cfg, q_pos, kv_pos, is_global)  # (B,1,Tl,Sl)
+        mask = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
 
         def update(m, l, acc, k=k, v=v, mask=mask):
             # Same dtype chain as the dense path (gemma3.py:270-275): scores
@@ -134,7 +138,7 @@ def _ring_attend(q, k, v, q_pos, *, cfg, is_global: bool, axis: str, size: int):
         # Skip fully-masked blocks (devices diverge freely between the
         # ppermutes): on causal layers this is the past-only half of the
         # ring; on sliding-window layers it is almost every remote block.
-        any_visible = jnp.any(mask > -1.0)
+        any_visible = jnp.any(valid)
         m, l, acc = lax.cond(
             any_visible, update, lambda m, l, acc: (m, l, acc), m, l, acc
         )

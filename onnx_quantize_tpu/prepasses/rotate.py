@@ -96,7 +96,14 @@ def _reset_norm(norm_params: dict, one_plus: bool) -> None:
 
 
 def _read_fold(site: dict, rot_t: np.ndarray, gamma: np.ndarray | None) -> None:
-    """Stream-reading site: ``W ← Rᵀ D_γ W`` (bias lives in head space)."""
+    """Stream-reading site: ``W ← Rᵀ D_γ W`` (bias lives in head space).
+
+    INVARIANT: both fold helpers REBIND ``site["w"]`` (fresh array) and never
+    mutate in place. Tied-lm_head models depend on this: the lm_head site
+    holds a *view* of the embedding buffer, and folding it last must still
+    read the pre-fold embedding values. An in-place ``w *= ...`` here would
+    silently double-rotate tied models.
+    """
     if "prescale" in site:
         raise ValueError(
             "rotation must run before SmoothQuant: found a prescale on a "

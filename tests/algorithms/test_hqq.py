@@ -52,6 +52,66 @@ def test_hqq_requires_matching_scale_zp_dtype():
         )
 
 
+def _zp_oracle_python_loop(w_f, scale, zero_point, qmin, qmax,
+                           lp_norm, beta, kappa, iters, early_stop):
+    """Host-loop transcription of the reference's zp optimization
+    (``/root/reference/src/onnx_quantize/core/_algorithms/hqq.py:106-144``):
+    error of the current zp evaluated first, best-so-far tracking, break on
+    the first non-improvement when early_stop."""
+    import jax.numpy as jnp
+
+    best_error = np.inf
+    best_zp = np.asarray(zero_point).copy()
+    inv_scale = 1.0 / jnp.asarray(scale)
+    zp = jnp.asarray(zero_point)
+    w_f = jnp.asarray(w_f)
+    for _ in range(iters):
+        w_q = jnp.clip(jnp.round(w_f * inv_scale + zp), qmin, qmax)
+        w_r = (w_q - zp) / inv_scale
+        err_term = w_f - w_r
+        shrunk = jnp.sign(err_term) * jnp.maximum(
+            0.0,
+            jnp.abs(err_term)
+            - (1.0 / beta) * jnp.power(jnp.abs(err_term) + 1e-8, lp_norm - 1),
+        )
+        beta *= kappa
+        current_error = float(jnp.mean(jnp.abs(w_f - w_r)))
+        if current_error < best_error:
+            best_error = current_error
+            best_zp = np.asarray(zp).copy()
+        elif early_stop:
+            break
+        zp = jnp.mean(w_q - (w_f - shrunk) * inv_scale, axis=1, keepdims=True)
+    return best_zp
+
+
+@pytest.mark.parametrize("early_stop", [True, False])
+@pytest.mark.parametrize("iters", [1, 7, 20])
+def test_hqq_device_loop_matches_python_oracle(rng, early_stop, iters):
+    """The lax.fori_loop rewrite must reproduce the host-synced loop exactly."""
+    from onnx_quantize_tpu.algorithms.hqq import _optimize_zero_point
+    from onnx_quantize_tpu.core.numerics import (
+        compute_qparams_from_array,
+        preprocess_array,
+    )
+
+    w = (0.3 * rng.standard_normal((64, 8)) ** 3).astype(np.float32)
+    pre = preprocess_array(w, QuantizationStrategy.GROUP, 16)
+    scale, zp0 = compute_qparams_from_array(
+        pre, QuantType.QUInt4, QuantizationStrategy.GROUP, 16,
+        is_symmetric=False, reduce_range=False,
+        scale_dtype=np.float32, zp_dtype=np.float32,
+    )
+    got = _optimize_zero_point(
+        pre, scale, zp0, QuantType.QUInt4, False,
+        lp_norm=0.7, beta=10.0, kappa=1.01, iters=iters, early_stop=early_stop,
+    )
+    want = _zp_oracle_python_loop(
+        pre, scale, zp0, 0.0, 15.0, 0.7, 10.0, 1.01, iters, early_stop
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-6)
+
+
 @pytest.mark.parametrize("lp_norm, beta, kappa, iters", [(0.5, 5.0, 1.05, 5), (1.0, 20.0, 1.0, 10)])
 def test_hqq_custom_params(rng, lp_norm, beta, kappa, iters):
     w = (0.1 * rng.standard_normal((32, 4))).astype(np.float32)
