@@ -188,6 +188,7 @@ class InferenceEngine:
             self._decode_multi_jit = jax.jit(
                 self._decode_multi_impl, donate_argnums=(1,), static_argnums=(4, 5, 7)
             )
+            self._score_jit = jax.jit(self._score_impl, donate_argnums=(1,))
             # serve_chunk: static (steps, variant) — positions 11, 12.
             self._serve_jit = jax.jit(
                 self._serve_impl, donate_argnums=(1,), static_argnums=(11, 12)
@@ -543,6 +544,63 @@ class InferenceEngine:
         )
         return cache, out.T  # (B, steps)
 
+    def _score_impl(self, params, cache, ids, lengths):
+        """Teacher-forced NLL *through the decode path* (one program).
+
+        SURVEY §7 hard-part (5): the reference's perplexity tool
+        (``/root/reference/tools/perplexity.py:25-83``) scores full forward
+        windows, which never touches the KV cache — so KV-quantization error
+        is invisible to it. This scan instead prefills exactly one token and
+        then feeds the gold tokens one step at a time through
+        ``_decode_impl``: every K/V row is written and read through the same
+        int8/int4 quantize→dequantize chain generation uses, so the returned
+        NLL *includes* the cache quantization error at every past position.
+
+        ids: (B, T) gold tokens; lengths: (B,) true lengths (>=2 to score).
+        Returns (cache, nll_sum (B,) f32, count (B,) int32); perplexity =
+        exp(sum(nll)/sum(count)).
+        """
+        B, T = ids.shape
+        assert T >= 2, "need at least two tokens to score a prediction"
+        cache, logits0, _ = self._prefill_impl(
+            params, cache, ids[:, :1], jnp.minimum(lengths, 1),
+            jnp.ones((B,), bool),
+        )
+
+        def nll_of(logits, tgt, valid):
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
+            return jnp.where(valid, nll, 0.0)
+
+        # Prefill's last-token logits predict position 1.
+        valid0 = lengths > 1
+        nll_sum = nll_of(logits0, ids[:, 1], valid0)
+        count = valid0.astype(jnp.int32)
+        if T == 2:
+            return cache, nll_sum, count
+
+        # Feed token i (1..T-2); its logits predict position i+1. The final
+        # token is never fed: its logits have no target and its KV row could
+        # not influence any scored step.
+        feed = ids[:, 1:T - 1].T       # (T-2, B)
+        tgts = ids[:, 2:].T            # (T-2, B)
+        idxs = jnp.arange(1, T - 1)
+
+        def step(carry, xs):
+            cache, nll_sum, count = carry
+            tok, tgt, i = xs
+            act = i < lengths
+            cache, logits = self._decode_impl(params, cache, tok, act)
+            valid = (i + 1) < lengths
+            nll_sum = nll_sum + nll_of(logits, tgt, valid)
+            count = count + valid.astype(jnp.int32)
+            return (cache, nll_sum, count), None
+
+        (cache, nll_sum, count), _ = jax.lax.scan(
+            step, (cache, nll_sum, count), (feed, tgts, idxs)
+        )
+        return cache, nll_sum, count
+
     def _serve_impl(self, params, cache, admit, tokens, done0, budgets, eos,
                     temps, top_ks, top_ps, rng, steps: int,
                     variant: tuple[bool, bool, bool]):
@@ -759,6 +817,50 @@ class InferenceEngine:
             self.params, cache, jnp.asarray(tokens, jnp.int32),
             jnp.asarray(active), steps, sampling, rng, eos_token_id,
         )
+
+    def score_nll(self, ids: np.ndarray, lengths: np.ndarray | None = None):
+        """Teacher-forced NLL through the engine's decode path.
+
+        Scores ``ids`` (N, T) by prefilling one token and step-decoding the
+        rest, so the result reflects the configured KV-cache quantization
+        (``kv_quant``) at every position — the accuracy instrument for
+        int8/int4 KV (see :meth:`_score_impl`). Rows are processed in
+        ``max_batch`` chunks. Returns (nll_sum (N,), count (N,)) numpy arrays.
+        """
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "score_nll is single-chip (shard the score scan with the "
+                "decode specs to extend it)"
+            )
+        ids = np.asarray(ids, np.int32)
+        if ids.ndim == 1:
+            ids = ids[None]
+        N, T = ids.shape
+        if T > self.max_seq:
+            raise ValueError(f"sequence length {T} exceeds max_seq={self.max_seq}")
+        if lengths is None:
+            lengths = np.full((N,), T, np.int32)
+        lengths = np.asarray(lengths, np.int32)
+        nll = np.zeros((N,), np.float32)
+        cnt = np.zeros((N,), np.int32)
+        for start in range(0, N, self.max_batch):
+            rows = slice(start, min(start + self.max_batch, N))
+            n = rows.stop - rows.start
+            pad = self.max_batch - n
+            batch_ids = np.pad(ids[rows], ((0, pad), (0, 0)))
+            batch_len = np.pad(lengths[rows], (0, pad))
+            _, b_nll, b_cnt = self._score_jit(
+                self.params, self.new_cache(), jnp.asarray(batch_ids),
+                jnp.asarray(batch_len),
+            )
+            nll[rows] = np.asarray(b_nll)[:n]
+            cnt[rows] = np.asarray(b_cnt)[:n]
+        return nll, cnt
+
+    def score_ppl(self, ids: np.ndarray, lengths: np.ndarray | None = None) -> float:
+        """Perplexity over ``ids`` via :meth:`score_nll` (decode-path KV)."""
+        nll, cnt = self.score_nll(ids, lengths)
+        return float(np.exp(nll.sum() / max(int(cnt.sum()), 1)))
 
     def serve_chunk(self, cache, tokens: np.ndarray | None, steps: int, *,
                     eos: np.ndarray, sampling_arrays,

@@ -34,3 +34,23 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# Compile-heavy tiers (multi-device shard_map programs, sliding-window ppl
+# sweeps): auto-marked `slow` so `pytest -m "not slow"` is a fast pre-commit
+# unit gate, mirroring the reference's unit/integration split
+# (/root/reference/.github/workflows/main.yml:55-74). The full suite (no
+# marker filter) remains the merge gate.
+_SLOW_PATHS = (
+    "tests/integration/",
+    "tests/parallel/test_cp.py",
+    "tests/parallel/test_pp.py",
+    "tests/engine/test_kv_ppl.py",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        path = str(item.fspath).replace(os.sep, "/")
+        if any(p in path for p in _SLOW_PATHS):
+            item.add_marker(pytest.mark.slow)
