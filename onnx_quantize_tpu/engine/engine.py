@@ -643,7 +643,16 @@ class InferenceEngine:
         eos_on = eos >= 0
         done = done0
         if admit is not None:
-            ids, lengths, third = admit
+            # admit is (ids, lengths, mask|slots) or, with a 4th element,
+            # (ids, lengths, mask|slots, new_budgets (B,)): mid-pipeline
+            # admission into a slot whose previous occupant's budget is in
+            # the device carry — the admitted row's fresh budget overrides it
+            # in-program (planned pipelined admission, see scheduler).
+            new_budgets = None
+            if len(admit) == 4:
+                ids, lengths, third, new_budgets = admit
+            else:
+                ids, lengths, third = admit
             if third.dtype == jnp.bool_:
                 # Full-batch masked admission (B-wide arrays, bool slot mask).
                 mask = third
@@ -681,6 +690,8 @@ class InferenceEngine:
             emitted0 = mask.astype(jnp.int32)
             done = jnp.logical_and(done, jnp.logical_not(mask))
             done = jnp.logical_or(done, mask & eos_on & (t0 == eos))
+            if new_budgets is not None:
+                budgets = jnp.where(mask, new_budgets, budgets)
         else:
             t0 = tokens
             emitted0 = jnp.zeros_like(tokens)
@@ -720,13 +731,19 @@ class InferenceEngine:
         carry = (toks, done, budgets - emitted0 - emitted)
         return cache, blob, carry
 
-    def _tp_serve_jit(self, steps: int, variant, has_admit: bool, t_pad: int):
-        """shard_map'd serve round; one compiled program per static config."""
-        key = (steps, variant, has_admit, t_pad)
+    def _tp_serve_jit(self, steps: int, variant, admit_n: int, t_pad: int):
+        """shard_map'd serve round; one compiled program per static config.
+        ``admit_n``: 0 = no admission, 3 = (ids, lengths, mask),
+        4 = + per-slot admit budgets (planned pipelined admission)."""
+        key = (steps, variant, admit_n, t_pad)
         fn = self._tp_serve_cache.get(key)
         if fn is None:
             d = self._data_axis
-            admit_specs = (P(d, None), P(d), P(d)) if has_admit else None
+            admit_specs = None
+            if admit_n:
+                admit_specs = (P(d, None), P(d), P(d)) + (
+                    (P(d),) if admit_n == 4 else ()
+                )
 
             def impl(params, cache, admit, tokens, done0, budgets, eos,
                      temps, top_ks, top_ps, rng):
@@ -871,7 +888,8 @@ class InferenceEngine:
                     admit_ids: np.ndarray | None = None,
                     admit_lengths: np.ndarray | None = None,
                     admit_mask: np.ndarray | None = None,
-                    admit_slots: np.ndarray | None = None):
+                    admit_slots: np.ndarray | None = None,
+                    admit_budgets: np.ndarray | None = None):
         """One serving round in ONE device program (see ``_serve_impl``).
 
         ``sampling_arrays`` = (temps, top_ks, top_ps) per-slot rows (build
@@ -911,6 +929,10 @@ class InferenceEngine:
                     jnp.asarray(admit_lengths, jnp.int32),
                     jnp.asarray(admit_mask),
                 )
+            if admit_budgets is not None:
+                # Planned pipelined admission: the admitted slots' budgets
+                # live in the device carry; override them in-program.
+                admit = admit + (jnp.asarray(admit_budgets, jnp.int32),)
         if carry is not None:
             toks, done0, budgets_arr = carry
         else:
@@ -925,7 +947,9 @@ class InferenceEngine:
         )
         if self.mesh is not None:
             t_pad = 0 if admit is None else admit[0].shape[1]
-            fn = self._tp_serve_jit(steps, variant, admit is not None, t_pad)
+            fn = self._tp_serve_jit(
+                steps, variant, 0 if admit is None else len(admit), t_pad
+            )
             return fn(*args)
         return self._serve_jit(*args, steps, variant)
 

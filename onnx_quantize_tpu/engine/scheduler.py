@@ -114,6 +114,15 @@ class ContinuousBatchingScheduler:
         # Shared prompt-prefix cache (register_prefix): KV snapshot + length.
         self._prefix: dict | None = None
         self._prefix_len = 0
+        # Serve-mode utilization accounting (the VERDICT r4 #1 decomposition):
+        # every dispatched round contributes B*chunk slot-steps; each is spent
+        # as an emitted token, a frozen-done step (request finished, slot
+        # waiting), or an empty-slot step. emitted/slot_steps is the
+        # scheduler's occupancy of the fixed-batch decode ceiling.
+        self.stats = {
+            "rounds": 0, "slot_steps": 0, "emitted": 0,
+            "admit_rounds": 0, "planned_admits": 0, "boundary_admits": 0,
+        }
 
     def register_prefix(self, tokens: list[int]) -> int:
         """Cache a shared prompt prefix's KV once; later ``submit(...,
@@ -285,16 +294,71 @@ class ContinuousBatchingScheduler:
                 out[slot_id] = int(toks[slot_id])
         return out
 
-    def _finish(self, slot_id: int, request: Request) -> None:
+    def _finish_request(self, request: Request) -> None:
+        """Mark complete without touching the slot table (the serve path owns
+        slot reuse: a slot may already hold its planned next occupant)."""
         request.done = True
         request.t_finished = time.monotonic()
         self.completed.append(request)
-        self.slots[slot_id] = None
         logger.debug("request %d finished", request.request_id)
+
+    def _finish(self, slot_id: int, request: Request) -> None:
+        self._finish_request(request)
+        self.slots[slot_id] = None
 
     # ── serve mode (chunk > 1): one device program, one sync per round ───
 
+    def _admit_kwargs(self, admitted, with_budgets: bool) -> dict:
+        """serve_chunk admission kwargs (narrow or full masked)."""
+        if (
+            self.narrow_admit
+            and self.engine.mesh is None  # mesh engines: full admission
+            and len(admitted) <= self.engine.max_batch // 2
+        ):
+            ids, lengths, slots = self._build_admit_narrow(admitted)
+            kw = dict(admit_ids=ids, admit_lengths=lengths, admit_slots=slots)
+        else:
+            ids, lengths, mask = self._build_admit(admitted)
+            kw = dict(admit_ids=ids, admit_lengths=lengths, admit_mask=mask)
+        if with_budgets:
+            budgets = np.zeros((self.engine.max_batch,), np.int32)
+            for slot_id, request in admitted:
+                budgets[slot_id] = request.max_new_tokens - len(request.output)
+            kw["admit_budgets"] = budgets
+        return kw
+
+    def _slot_arrays(self, occupant: dict[int, "Request | None"]):
+        """(eos, sampling arrays, variant) rows for the given occupancy."""
+        B = self.engine.max_batch
+        eos = np.full((B,), -1, np.int32)
+        params_list = []
+        for s in range(B):
+            request = occupant.get(s)
+            params_list.append(
+                request.sampling if request is not None else SamplingParams()
+            )
+            if request is not None and request.eos_token_id is not None:
+                eos[s] = request.eos_token_id
+        arrays, variant = batch_sampling_arrays(params_list)
+        self._variant = tuple(a or b for a, b in zip(self._variant, variant))
+        return eos, arrays
+
     def _step_serve(self) -> list[Request]:
+        """One pipelined serving group with PLANNED admissions.
+
+        VERDICT r4 #1 (the 43-49% serving-utilization plateau): the previous
+        pipeline admitted only at group boundaries, so a slot whose request
+        finished in round 1 of a 4-round group idled ~3 rounds × chunk steps
+        — with request lifetimes of 2-3 rounds that idling was the dominant
+        lost term. Completion time is PREDICTABLE from budgets alone: a slot
+        with remaining budget b is guaranteed done after ceil(b/chunk)
+        rounds (EOS and cache capacity only finish EARLIER, and admitting
+        into an already-frozen slot is exactly the normal admission case).
+        So the scheduler plans future-round admissions on the host, and
+        every continuation round can carry its own admission prefill — all
+        dispatched from the device-resident carry BEFORE any blob is read,
+        preserving the pipelining that hides the ~28 ms tunnel sync.
+        """
         admitted = self._assign_slots()
         prefixed = [a for a in admitted if a[1].use_prefix]
         if prefixed:
@@ -311,79 +375,107 @@ class ContinuousBatchingScheduler:
             return self._drain_completed()
 
         B = self.engine.max_batch
+        chunk = self.chunk
         active = np.array([s is not None for s in self.slots])
         budgets = np.zeros((B,), np.int32)
-        eos = np.full((B,), -1, np.int32)
-        params_list = [
-            r.sampling if r is not None else SamplingParams() for r in self.slots
-        ]
         for slot_id, request in occupied:
             budgets[slot_id] = request.max_new_tokens - len(request.output)
-            if request.eos_token_id is not None:
-                eos[slot_id] = request.eos_token_id
-        arrays, variant = batch_sampling_arrays(params_list)
-        self._variant = tuple(
-            a or b for a, b in zip(self._variant, variant)
-        )
+        occupant: dict[int, Request] = dict(occupied)
+        eos, arrays = self._slot_arrays(occupant)
 
-        admit_kw = {}
-        if admitted:
-            if (
-                self.narrow_admit
-                and self.engine.mesh is None  # mesh engines: full admission
-                and len(admitted) <= self.engine.max_batch // 2
-            ):
-                ids, lengths, slots = self._build_admit_narrow(admitted)
-                admit_kw = dict(
-                    admit_ids=ids, admit_lengths=lengths, admit_slots=slots
-                )
-            else:
-                ids, lengths, mask = self._build_admit(admitted)
-                admit_kw = dict(
-                    admit_ids=ids, admit_lengths=lengths, admit_mask=mask
-                )
+        admit_kw = self._admit_kwargs(admitted, with_budgets=False) if admitted else {}
         self.rng, step_rng = jax.random.split(self.rng)
         self.cache, blob, carry = self.engine.serve_chunk(
-            self.cache, self.next_tokens, steps=self.chunk, active=active,
+            self.cache, self.next_tokens, steps=chunk, active=active,
             budgets=budgets, eos=eos, sampling_arrays=arrays,
             variant=self._variant, rng=step_rng, **admit_kw,
         )
         blobs = [blob]
-        # Pipelined continuation rounds: dispatched from the device carry
-        # before ANY blob fetch. The host over-estimates the rounds still
-        # needed (budgets only; EOS finishes waste at most a group tail).
-        rounds_needed = int(max(
-            (-(-int(budgets[s]) // self.chunk) for s, _ in occupied), default=1
-        ))
-        for _ in range(min(self.pipeline - 1, rounds_needed - 1)):
+        admits_per_round: list[dict[int, Request]] = [dict(admitted)]
+        occupant_per_round: list[dict[int, Request]] = [dict(occupant)]
+
+        # Guaranteed-remaining emissions per slot (upper bound; EOS/capacity
+        # can only finish earlier, which is safe for planned reuse).
+        admitted0 = {s for s, _ in admitted}
+        pred_rem = {
+            s: int(budgets[s]) - (1 if s in admitted0 else 0) - chunk
+            for s, _ in occupied
+        }
+
+        for _ in range(self.pipeline - 1):
+            live = any(rem > 0 for rem in pred_rem.values())
+            plain_queue = self.queue and not self.queue[0].use_prefix
+            if not live and not plain_queue:
+                break
+            new_admits: list[tuple[int, Request]] = []
+            if plain_queue:
+                for s in range(B):
+                    if not (self.queue and not self.queue[0].use_prefix):
+                        break
+                    if s in occupant and pred_rem.get(s, 0) > 0:
+                        continue  # still (possibly) running
+                    request = self.queue.popleft()
+                    request.t_admitted = time.monotonic()
+                    occupant[s] = request
+                    new_admits.append((s, request))
+                    logger.debug(
+                        "planned-admitted request %d into slot %d",
+                        request.request_id, s,
+                    )
+            if not live and not new_admits:
+                break
+            eos, arrays = self._slot_arrays(occupant)
+            admit_kw = (
+                self._admit_kwargs(new_admits, with_budgets=True)
+                if new_admits else {}
+            )
             self.rng, step_rng = jax.random.split(self.rng)
             self.cache, blob, carry = self.engine.serve_chunk(
-                self.cache, None, steps=self.chunk, eos=eos,
+                self.cache, None, steps=chunk, eos=eos,
                 sampling_arrays=arrays, variant=self._variant, rng=step_rng,
-                carry=carry,
+                carry=carry, **admit_kw,
             )
             blobs.append(blob)
+            admits_per_round.append(dict(new_admits))
+            occupant_per_round.append(dict(occupant))
+            self.stats["planned_admits"] += len(new_admits)
+            for s, request in new_admits:
+                pred_rem[s] = request.max_new_tokens - 1
+            for s in pred_rem:
+                pred_rem[s] -= chunk
 
-        admitted_slots = {slot_id for slot_id, _ in admitted}
+        self.stats["rounds"] += len(blobs)
+        self.stats["slot_steps"] += len(blobs) * B * chunk
+        self.stats["admit_rounds"] += sum(1 for a in admits_per_round if a)
+        self.stats["boundary_admits"] += len(admits_per_round[0])
         for round_idx, blob in enumerate(blobs):
             blob = np.asarray(blob)  # one fetch per round; device runs ahead
             t0 = blob[:, 0]
-            out = blob[:, 1 : 1 + self.chunk]
+            out = blob[:, 1 : 1 + chunk]
             emitted = blob[:, -3]
             done = blob[:, -2].astype(bool)
             self.lengths = blob[:, -1].astype(np.int32)
-            first = round_idx == 0
-            for slot_id, request in occupied:
+            self.stats["emitted"] += int(emitted.sum()) + len(
+                admits_per_round[round_idx]
+            )
+            round_admits = admits_per_round[round_idx]
+            for slot_id, request in occupant_per_round[round_idx].items():
                 if request.done:
                     continue
-                if first and slot_id in admitted_slots:
+                if slot_id in round_admits:
                     request.output.append(int(t0[slot_id]))
                 request.output.extend(
                     int(t) for t in out[slot_id, : emitted[slot_id]]
                 )
-                self.next_tokens[slot_id] = request.output[-1]
+                if request.output:
+                    self.next_tokens[slot_id] = request.output[-1]
                 if done[slot_id]:
-                    self._finish(slot_id, request)
+                    self._finish_request(request)
+        for s in range(B):
+            request = occupant.get(s)
+            self.slots[s] = (
+                request if request is not None and not request.done else None
+            )
         return self._drain_completed()
 
     # ── per-step mode (chunk == 1): the reference-shaped loop ────────────

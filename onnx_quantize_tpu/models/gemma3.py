@@ -153,6 +153,11 @@ class Gemma3Attention(nn.Module):
         # (mesh axis name, axis size, "ring" | "gather"). When set (and no KV
         # cache is in play) attention runs over sequence-sharded K/V blocks.
         self.cp_spec: tuple[str, int, str] | None = None
+        # QuaRot R3 (prepasses/rotate.py): per-head orthogonal transform
+        # applied ONLINE to q and k post-RoPE. Scores are exactly invariant
+        # ((qR)(kR)ᵀ = qkᵀ) while the cached K rows become outlier-spread —
+        # the int8/int4 KV-quantization relief RoPE prevents folding.
+        self.qk_rot: np.ndarray | None = None
 
     def _flash_ok(self, use_flash, T: int) -> bool:
         if use_flash is False:
@@ -208,6 +213,10 @@ class Gemma3Attention(nn.Module):
         q = apply_rope(q, positions, base, scaling=cfg.rope_scaling)
         k = apply_rope(k, positions, base, scaling=cfg.rope_scaling)
         q = q * (cfg.query_pre_attn_scalar ** -0.5)
+        if self.qk_rot is not None:
+            r = jnp.asarray(self.qk_rot, q.dtype)
+            q = jnp.einsum("...d,de->...e", q, r)
+            k = jnp.einsum("...d,de->...e", k, r.astype(k.dtype))
         return q, k, v
 
     def __call__(self, params, x, positions, mask, ctx: Context | None = None,
@@ -318,6 +327,11 @@ class Gemma3MLP(nn.Module):
         self.gate_proj = nn.Linear(cfg.hidden_size, cfg.intermediate_size, use_bias=False, dtype=dt)
         self.up_proj = nn.Linear(cfg.hidden_size, cfg.intermediate_size, use_bias=False, dtype=dt)
         self.down_proj = nn.Linear(cfg.intermediate_size, cfg.hidden_size, use_bias=False, dtype=dt)
+        # QuaRot R4 (prepasses/rotate.py): blockwise Hadamard applied ONLINE
+        # to the down input (Hᵀ folded into down_proj's rows — exact), set by
+        # apply_online_rotations. Spreads the GeGLU-output outliers that
+        # dominate activation-quantization error at this site.
+        self.down_rot: np.ndarray | None = None
 
     def __call__(self, params, x, ctx: Context | None = None):
         if "_fused_gate_up" in params:
@@ -332,6 +346,9 @@ class Gemma3MLP(nn.Module):
                 and isinstance(dn, nn.QTensor)
                 and "prescale" not in params["down_proj"]
                 and self.down_proj.tp_reduce is None
+                # R4 online rotation sits between GeGLU and down — the fused
+                # kernel has no hook for it.
+                and self.down_rot is None
             ):
                 # Decode megakernel: gate/up matmul + GeGLU + down matmul in
                 # ONE pallas_call (launch-latency lever, see mlp_w4.py).
@@ -357,6 +374,12 @@ class Gemma3MLP(nn.Module):
             act = jax.nn.silu(gate) * up
         else:
             act = jax.nn.gelu(gate, approximate=True) * up
+        if self.down_rot is not None:
+            r = jnp.asarray(self.down_rot, act.dtype)
+            blk = r.shape[0]
+            shp = act.shape
+            act = act.reshape(*shp[:-1], shp[-1] // blk, blk)
+            act = jnp.einsum("...gb,bc->...gc", act, r).reshape(shp)
         return self.down_proj(params["down_proj"], act, ctx=ctx)
 
 

@@ -120,8 +120,12 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
         "service_ms_p50": pct(service, 50), "service_ms_p99": pct(service, 99),
         "total_ms_p50": pct(total, 50), "total_ms_p99": pct(total, 99),
     }
+    stats = sched.stats
+    occupancy = stats["emitted"] / max(stats["slot_steps"], 1)
     return {
         "latency": latency,
+        "occupancy": round(occupancy, 4),
+        "sched_stats": stats,
         "chunk": chunk,
         "narrow_admit": narrow,
         "pipeline": pipeline,

@@ -130,3 +130,88 @@ def test_chunked_sampled_decode(quantized_model):
     for r in reqs:
         assert r.done and 1 <= len(r.output) <= r.max_new_tokens
         assert all(0 <= t < 128 for t in r.output)
+
+
+def _run_pipelined(model, params, chunk, pipeline, prompts, eos, max_seq=48,
+                   narrow=False, max_batch=2):
+    engine = InferenceEngine(model, params, max_batch=max_batch,
+                             max_seq=max_seq, kv_quant=True)
+    sched = ContinuousBatchingScheduler(engine, chunk=chunk, pipeline=pipeline)
+    sched.narrow_admit = narrow
+    reqs = [
+        sched.submit(p, max_new_tokens=m, eos_token_id=eos)
+        for p, m in prompts
+    ]
+    sched.run()
+    assert all(r.done for r in reqs)
+    return [r.output for r in reqs]
+
+
+@pytest.mark.parametrize("pipeline", [2, 4])
+@pytest.mark.parametrize("narrow", [False, True])
+def test_planned_pipelined_admission_matches_per_step(quantized_model,
+                                                      pipeline, narrow):
+    """Planned mid-pipeline admissions (VERDICT r4 #1): slots are refilled
+    inside a pipelined group the moment their budget guarantees completion.
+    9 requests with short budgets through 2 slots force multiple planned
+    handoffs per group; outputs must equal the per-step scheduler exactly."""
+    model, qparams = quantized_model
+    rng = np.random.default_rng(11)
+    prompts = [
+        (list(rng.integers(1, 128, size=int(rng.integers(3, 10)))),
+         int(rng.integers(2, 9)))
+        for _ in range(9)
+    ]
+    base = _run(model, qparams, 1, prompts, eos=None)
+    got = _run_pipelined(model, qparams, 4, pipeline, prompts, eos=None,
+                         narrow=narrow)
+    assert got == base
+
+
+def test_planned_admission_with_early_eos(quantized_model):
+    """EOS finishes a slot EARLIER than its budget predicted; the planned
+    admission must still land correctly (the slot is simply frozen longer)."""
+    model, qparams = quantized_model
+    probe = _run(model, qparams, 1, [([5, 9, 17], 4)], eos=None)[0]
+    eos = probe[1]  # the token the tiny model emits greedily
+    rng = np.random.default_rng(13)
+    prompts = [([5, 9, 17], 12)] + [
+        (list(rng.integers(1, 128, size=4)), int(rng.integers(3, 8)))
+        for _ in range(5)
+    ]
+    base = _run(model, qparams, 1, prompts, eos=eos)
+    got = _run_pipelined(model, qparams, 4, 3, prompts, eos=eos)
+    assert got == base
+
+
+def test_planned_admission_capacity_finish(quantized_model):
+    """Capacity freezes are also earlier-than-budget; planned reuse holds."""
+    model, qparams = quantized_model
+    prompts = [([1, 2, 3, 4], 64), ([9, 8], 64), ([7, 7, 7], 64)]
+    base = _run(model, qparams, 1, prompts, eos=None, max_seq=12)
+    got = _run_pipelined(model, qparams, 4, 3, prompts, eos=None, max_seq=12)
+    assert got == base
+
+
+def test_planned_admission_mixed_sampling(quantized_model):
+    """Planned-admitted rows carry their own eos/sampling rows into the
+    continuation rounds (arrays are rebuilt per round from the occupancy)."""
+    from onnx_quantize_tpu.engine.sampling import SamplingParams
+
+    model, qparams = quantized_model
+    engine = InferenceEngine(model, qparams, max_batch=2, max_seq=48,
+                             kv_quant=True)
+    sched = ContinuousBatchingScheduler(engine, chunk=4, pipeline=3)
+    rng = np.random.default_rng(17)
+    sp = SamplingParams(temperature=0.7, top_k=8)
+    reqs = []
+    for i in range(6):
+        reqs.append(sched.submit(
+            list(rng.integers(1, 128, size=4)),
+            max_new_tokens=int(rng.integers(3, 7)),
+            sampling=sp if i % 2 else SamplingParams(),
+        ))
+    sched.run()
+    for r in reqs:
+        assert r.done and 1 <= len(r.output) <= r.max_new_tokens
+        assert all(0 <= t < 128 for t in r.output)
