@@ -32,6 +32,7 @@ import time
 from collections import deque
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from onnx_quantize_tpu._logging import get_logger
@@ -448,8 +449,15 @@ class ContinuousBatchingScheduler:
         self.stats["slot_steps"] += len(blobs) * B * chunk
         self.stats["admit_rounds"] += sum(1 for a in admits_per_round if a)
         self.stats["boundary_admits"] += len(admits_per_round[0])
+        if len(blobs) > 1:
+            # ONE host fetch for the whole group: each np.asarray costs the
+            # tunnel's fixed ~28 ms regardless of size, so per-round fetches
+            # made chunk=16 host-bound (measured: c16 wall 0.8 s vs its 0.48 s
+            # device chain, scripts/tpu_serve_decomp.py). A device-side stack
+            # (tiny concat) turns R fetches into one.
+            blobs = list(np.asarray(jnp.stack(blobs)))
         for round_idx, blob in enumerate(blobs):
-            blob = np.asarray(blob)  # one fetch per round; device runs ahead
+            blob = np.asarray(blob)  # no-op after a stacked fetch
             t0 = blob[:, 0]
             out = blob[:, 1 : 1 + chunk]
             emitted = blob[:, -3]

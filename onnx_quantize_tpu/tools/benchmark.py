@@ -92,7 +92,8 @@ def bench_fn(fn, x, *operands, iters: int = 200) -> float:
 
 
 def bench_quantized_matmul(qt, M: int, *, chip: ChipSpec = V5E, iters: int = 50,
-                           dtype=jnp.bfloat16, impl: str = "pallas") -> dict:
+                           dtype=jnp.bfloat16, impl: str = "pallas",
+                           with_control: bool = False) -> dict:
     """Benchmark one QTensor matmul; returns the measurement + roofline %.
 
     ``impl="dense"`` is the platform-ceiling control (VERDICT r2 #5): a plain
@@ -100,6 +101,12 @@ def bench_quantized_matmul(qt, M: int, *, chip: ChipSpec = V5E, iters: int = 50,
     achieved GB/s is the platform's own demonstrated dense-stream rate, the
     honest ceiling to compare the quantized kernels' percent-of-datasheet
     against (datasheet bandwidth is not reachable on this runtime).
+
+    ``with_control=True`` measures the dense control IN THE SAME SESSION and
+    adds the gate metric the roofline claim closes on (VERDICT r4 #6):
+    ``pct_of_dense_control`` — the kernel's achieved byte rate as a percent
+    of the same-shape dense-bf16 control's — plus ``speedup_vs_dense``
+    (time ratio; > 1 means the quantized kernel is faster outright).
     """
     from onnx_quantize_tpu.ops.dispatch import quantized_matmul_pallas
     from onnx_quantize_tpu.ops.reference import dequantize_weight, quantized_matmul_jnp
@@ -125,7 +132,7 @@ def bench_quantized_matmul(qt, M: int, *, chip: ChipSpec = V5E, iters: int = 50,
     compute_ceiling = flops / (chip.peak_bf16_tflops * 1e12)
     memory_ceiling = bytes_accessed / (chip.hbm_gbps * 1e9)
     ceiling_sec = max(compute_ceiling, memory_ceiling)
-    return {
+    out = {
         "shape": f"{M}x{K}x{N}",
         "quant": f"{qt.meta.quant_type}/{qt.meta.strategy}/g{qt.meta.group_size}",
         "time_us": round(sec * 1e6, 1),
@@ -135,6 +142,15 @@ def bench_quantized_matmul(qt, M: int, *, chip: ChipSpec = V5E, iters: int = 50,
         "pct_roofline": round(100 * ceiling_sec / sec, 1),
         "chip": chip.name,
     }
+    if with_control and impl != "dense":
+        ctrl = bench_quantized_matmul(
+            qt, M, chip=chip, iters=iters, dtype=dtype, impl="dense"
+        )
+        out["dense_time_us"] = ctrl["time_us"]
+        out["dense_hbm_gbps"] = ctrl["hbm_gbps"]
+        out["pct_of_dense_control"] = round(100 * gbps / ctrl["hbm_gbps"], 1)
+        out["speedup_vs_dense"] = round(ctrl["time_us"] / out["time_us"], 2)
+    return out
 
 
 def main():
@@ -146,6 +162,9 @@ def main():
     parser.add_argument("--group-size", type=int, default=128)
     parser.add_argument("--iters", type=int, default=200)
     parser.add_argument("--impl", choices=["pallas", "jnp", "dense"], default="pallas")
+    parser.add_argument("--control", action="store_true",
+                        help="also measure the same-shape dense-bf16 control "
+                             "and report pct_of_dense_control (the gate metric)")
     args = parser.parse_args()
 
     from onnx_quantize_tpu.algorithms.rtn import rtn_quantize
@@ -174,7 +193,8 @@ def main():
     import jax.tree_util as jtu
 
     qt = jtu.tree_map(lambda a: jax.device_put(a, jax.devices()[0]), qt)
-    result = bench_quantized_matmul(qt, args.m, iters=args.iters, impl=args.impl)
+    result = bench_quantized_matmul(qt, args.m, iters=args.iters, impl=args.impl,
+                                    with_control=args.control)
     print(json.dumps(result))
 
 

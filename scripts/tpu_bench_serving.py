@@ -48,7 +48,7 @@ def build():
     return _build(cfg, quantized=True, cpu_device=jax.devices("cpu")[0])
 
 
-def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
+def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=None,
           seed=0, repeats=5, pipeline=1, narrow=None, engine=None):
     import jax
     import jax.numpy as jnp
@@ -56,6 +56,8 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
 
     from onnx_quantize_tpu.engine import ContinuousBatchingScheduler, InferenceEngine
 
+    if max_seq is None:
+        max_seq = int(os.environ.get("OQT_SERVE_MAX_SEQ", "512"))
     if engine is None:
         device = jax.devices()[0]
         params = jtu.tree_map(lambda a: jax.device_put(a, device), params)
@@ -70,10 +72,17 @@ def serve(model, params, chunk, n_requests=128, max_batch=32, max_seq=512,
         s.narrow_admit = narrow
         return s
     rng = np.random.default_rng(seed)
+    # Prompt/output length ranges are env-tunable for regime studies (e.g.
+    # OQT_SERVE_PROMPT_LO/HI=256/449 puts admission rounds in the
+    # prefill-dominated regime where narrow admission should pay).
+    p_lo = int(os.environ.get("OQT_SERVE_PROMPT_LO", "32"))
+    p_hi = int(os.environ.get("OQT_SERVE_PROMPT_HI", "129"))
+    n_lo = int(os.environ.get("OQT_SERVE_NEW_LO", "48"))
+    n_hi = int(os.environ.get("OQT_SERVE_NEW_HI", "97"))
     prompts = [
         (list(rng.integers(1, model.cfg.vocab_size,
-                           size=int(rng.integers(32, 129)))),
-         int(rng.integers(48, 97)))
+                           size=int(rng.integers(p_lo, p_hi)))),
+         int(rng.integers(n_lo, n_hi)))
         for _ in range(n_requests)
     ]
 
@@ -158,8 +167,10 @@ def main():
         params = jax.tree.map(lambda a: jax.device_put(a, device), params)
         from onnx_quantize_tpu.engine import InferenceEngine
 
-        engine = InferenceEngine(model, params, max_batch=32, max_seq=512,
-                                 kv_quant=True, dtype=jnp.bfloat16)
+        engine = InferenceEngine(
+            model, params, max_batch=32,
+            max_seq=int(os.environ.get("OQT_SERVE_MAX_SEQ", "512")),
+            kv_quant=True, dtype=jnp.bfloat16)
         for chunk in chunks:
             for narrow in (True, False, True, False):
                 rows.append(serve(model, params, chunk, pipeline=pipeline,
