@@ -86,17 +86,19 @@ class ContinuousBatchingScheduler:
         # tokens are independent of batch composition, and frozen slots stop
         # emitting in-program).
         self.pipeline = pipeline
-        # Narrow admission (serve mode, single-chip, opt-in): admission
-        # groups of <= max_batch/2 run the (A, T_pad) rows-only prefill
-        # inside the serve program instead of the full (B, T_pad) masked
-        # prefill. Bit-identical outputs, strictly less admission compute —
-        # but measured a WASH on 270M end-to-end throughput (admission
-        # rounds are ~1/pipeline of rounds and the decode scan dominates
-        # them; controlled A/B in BENCH.md round 4) while each (A, T_pad)
-        # bucket adds a compiled serve variant (minutes of warmup on this
-        # runtime). Flip on for models whose prefill forward is the
-        # admission-round bottleneck.
-        self.narrow_admit = False
+        # Narrow admission (serve mode, single-chip): admission groups of
+        # <= max_batch/2 run the (A, T_pad) rows-only prefill inside the
+        # serve program instead of the full (B, T_pad) masked prefill.
+        # Bit-identical outputs, strictly less admission compute. Default ON
+        # since round 5: a wash under round-4's boundary-only admissions,
+        # but planned per-round admissions make admission rounds ~3x more
+        # frequent (+12.9% at 270M random load) and prefill-dominated
+        # workloads swing hard (2.2x at 1B with 256-448-token prompts,
+        # scripts/tpu_bench_serving.py A/B, BENCH.md round 5). Cost: each
+        # (A, T_pad) bucket adds a compiled serve variant to WARMUP (not
+        # steady state) — set False for short-lived schedulers on
+        # compile-expensive runtimes.
+        self.narrow_admit = True
         self.cache = engine.new_cache()
         self.queue: deque[Request] = deque()
         self.slots: list[Request | None] = [None] * engine.max_batch

@@ -64,6 +64,9 @@ class SpeculativeScheduler:
         self.rng = rng if rng is not None else jax.random.key(0)
         self._id_counter = itertools.count()
         self.completed: list[Request] = []
+        # live_rounds counts (slot, round) pairs where the slot was running;
+        # emitted/live_rounds - 1 over k is the measured acceptance rate.
+        self.stats = {"calls": 0, "live_rounds": 0, "emitted": 0}
 
     # ── submission ───────────────────────────────────────────────────────
 
@@ -202,10 +205,13 @@ class SpeculativeScheduler:
         )
         blob = np.asarray(blob)  # (B, rounds, k+3)
         self.lengths = blob[:, -1, k + 2].astype(np.int32)
+        self.stats["calls"] += 1
         for slot_id, request in occupied:
             for r in range(rounds):
                 row = blob[slot_id, r]
                 emitted = int(row[k])
+                self.stats["live_rounds"] += 1
+                self.stats["emitted"] += emitted
                 request.output.extend(int(t) for t in row[:emitted])
                 if row[k + 1]:  # done: EOS, budget, or capacity freeze
                     self._finish(slot_id, request)
