@@ -75,8 +75,16 @@ def make_engine(model, params, quantized, batch, max_seq):
 
 
 def bench_model(model_name, batch=32, prompt_len=128, steps=64, max_seq=512,
-                prefill_len=512, repeats=5):
+                prefill_len=512, repeats=5, sequential=False):
     import jax
+
+    if sequential:
+        # 4B cannot hold both arms resident (8 GB bf16 + 2.3 GB W4 + caches
+        # + XLA workspace OOMs the 16 GB chip — measured), so its arms run
+        # sequentially like bench.py; the interleaving protection does not
+        # apply and the row notes it.
+        return bench_model_sequential(model_name, batch, prompt_len, steps,
+                                      max_seq, prefill_len, repeats)
 
     arms = {}
     for q in (True, False):
@@ -127,6 +135,8 @@ def bench_model(model_name, batch=32, prompt_len=128, steps=64, max_seq=512,
 
     # ---- prefill/TTFT: slope over 1 vs 3 prefills, interleaved arms.
     for q, arm in arms.items():
+        arm.pop("cache", None)  # free decode caches before the prefill ones
+        gc.collect()
         model = arm["model"]
         ids = rng.integers(1, model.cfg.vocab_size,
                            size=(batch, prefill_len)).astype(np.int32)
@@ -177,12 +187,92 @@ def bench_model(model_name, batch=32, prompt_len=128, steps=64, max_seq=512,
     return row
 
 
+def bench_model_sequential(model_name, batch, prompt_len, steps, max_seq,
+                           prefill_len, repeats):
+    import jax
+
+    rng = np.random.default_rng(0)
+    steps_lo, steps_hi = steps, 4 * steps
+    out = {}
+    for q in (True, False):
+        model, params = build(model_name, q)
+        eng = make_engine(model, params, q, batch, max_seq)
+        del params
+        ids = rng.integers(1, model.cfg.vocab_size,
+                           size=(batch, prompt_len)).astype(np.int32)
+        lengths = np.full((batch,), prompt_len, np.int32)
+        cache = eng.new_cache()
+        cache, logits = eng.prefill(cache, ids, lengths)
+        tokens = np.asarray(np.argmax(logits, axis=-1), np.int32)
+        cache, gen = eng.decode_multi(cache, tokens, steps=steps_lo)
+        tokens = np.asarray(gen)[:, -1]
+        cache, gen = eng.decode_multi(cache, tokens, steps=steps_hi)
+        tokens = np.asarray(gen)[:, -1]
+        t = {"lo": [], "hi": []}
+        for _ in range(repeats):
+            for key, n_steps in (("lo", steps_lo), ("hi", steps_hi)):
+                t0 = time.time()
+                cache, gen = eng.decode_multi(cache, tokens, steps=n_steps)
+                jax.block_until_ready(gen)
+                t[key].append(time.time() - t0)
+                tokens = np.asarray(gen)[:, -1]
+        extra = batch * (steps_hi - steps_lo)
+        pairs = [extra / (hi - lo)
+                 for lo, hi in zip(sorted(t["lo"]), sorted(t["hi"]))]
+        decode = (float(np.median(pairs)), float(np.min(pairs)),
+                  float(np.max(pairs)))
+
+        # Free the decode-phase cache before allocating the prefill one —
+        # at 4B two live caches + params OOM the chip (measured).
+        del cache, gen, logits
+        gc.collect()
+        p_ids = rng.integers(1, model.cfg.vocab_size,
+                             size=(batch, prefill_len)).astype(np.int32)
+        p_lengths = np.full((batch,), prefill_len, np.int32)
+        p_cache = eng.new_cache()
+        p_cache, logits = eng.prefill(p_cache, p_ids, p_lengths)
+        float(np.asarray(logits)[0, 0])
+        p = {"lo": [], "hi": []}
+        for _ in range(max(3, repeats - 2)):
+            for key, n in (("lo", 1), ("hi", 3)):
+                t0 = time.time()
+                for _ in range(n):
+                    p_cache, logits = eng.prefill(p_cache, p_ids, p_lengths)
+                jax.block_until_ready(logits)
+                p[key].append(time.time() - t0)
+        per = [(hi - lo) / 2
+               for lo, hi in zip(sorted(p["lo"]), sorted(p["hi"]))]
+        med = float(np.median(per))
+        out[q] = {"decode": decode,
+                  "prefill": (batch * prefill_len / med, med * 1e3)}
+        del eng, p_cache, logits
+        gc.collect()
+
+    decode, prefill = {k: v["decode"] for k, v in out.items()}, {
+        k: v["prefill"] for k, v in out.items()}
+    return {
+        "model": model_name, "arms": "sequential (both resident OOMs)",
+        "decode_tok_s": round(decode[True][0], 1),
+        "decode_spread": [round(decode[True][1], 1), round(decode[True][2], 1)],
+        "decode_bf16_tok_s": round(decode[False][0], 1),
+        "decode_bf16_spread": [round(decode[False][1], 1),
+                               round(decode[False][2], 1)],
+        "decode_vs_bf16": round(decode[True][0] / decode[False][0], 3),
+        "prefill_tok_s": round(prefill[True][0], 1),
+        "prefill_bf16_tok_s": round(prefill[False][0], 1),
+        "prefill_vs_bf16": round(prefill[True][0] / prefill[False][0], 3),
+        "ttft_ms": round(prefill[True][1], 1),
+        "ttft_bf16_ms": round(prefill[False][1], 1),
+        "batch": batch, "steps": [steps_lo, steps_hi], "repeats": repeats,
+    }
+
+
 def main():
     models = os.environ.get("OQT_MATRIX_MODELS", "270m,1b,4b,moe").split(",")
     rows = []
     for name in models:
         name = name.strip()
-        row = bench_model(name)
+        row = bench_model(name, sequential=(name == "4b"))
         rows.append(row)
         print(json.dumps(row), flush=True)
     print(json.dumps({"probe": "headline_matrix_r5", "rows": rows}))
