@@ -5,8 +5,9 @@ build the engine, and stream a mixed workload — heterogeneous prompts,
 budgets, temperatures, and EOS ids — through the chunked scheduler. With
 ``chunk > 1`` every scheduler round is ONE compiled device program
 (``engine.serve_chunk``): admission prefill, per-slot sampling, and ``chunk``
-decode steps, returning a single packed result blob (BENCH.md round 3:
-10,560 generated tok/s under random load on one v5e chip at chunk=64).
+decode steps, returning a single packed result blob (BENCH.md round 5:
+18,846 generated tok/s under random load on one v5e chip at chunk=16,
+pipeline=48, narrow admission).
 
 Usage:
     python examples/serving.py [--chunk 16] [--requests 32] [--tiny]
@@ -61,9 +62,13 @@ def build(tiny: bool):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--chunk", type=int, default=16)
-    parser.add_argument("--pipeline", type=int, default=1,
+    parser.add_argument("--pipeline", type=int, default=8,
                         help="serve rounds dispatched before reading results "
-                        "(hides the host round-trip behind device compute)")
+                        "(hides the host round-trip behind device compute; "
+                        "admissions are planned from budgets so freed slots "
+                        "refill mid-group, and the group's results come back "
+                        "in one stacked fetch — chunk=16/pipeline=48 is the "
+                        "measured best serving config, BENCH.md round 5)")
     parser.add_argument("--requests", type=int, default=32)
     parser.add_argument("--slots", type=int, default=8)
     parser.add_argument("--max-seq", type=int, default=256)
