@@ -520,7 +520,7 @@ class Gemma3MoEMLP(nn.Module):
                     return False
         return True
 
-    def _ragged_ok(self, layout, M: int) -> bool:
+    def _ragged_ok(self, layout, M: int, fused_source: bool = False) -> bool:
         mode = self.use_ragged_prefill
         if mode is False or layout is None or self.ep_axis is not None:
             return False
@@ -528,6 +528,14 @@ class Gemma3MoEMLP(nn.Module):
             return False
         if mode is True:
             return True
+        if fused_source:
+            # Ragged from the FUSED layout dequantizes the whole concatenated
+            # MLP in-program (3.7 GB of scratch traffic at the 8x2816 bench
+            # config) before it can gather — at serving-admission M (~2k) that
+            # traffic eats the routed-FLOP savings and dense-masked fused is
+            # +8.4% end-to-end (scripts/tpu_probe_moe_serve.py, BENCH.md
+            # round 5). The dequant amortizes at bulk-prefill M only.
+            return M >= 8192 and jax.default_backend() == "tpu"
         return M >= 128 and jax.default_backend() == "tpu"
 
     @staticmethod
@@ -665,7 +673,8 @@ class Gemma3MoEMLP(nn.Module):
         stacked = params.get("_stacked_experts")
         fused = params.get("_fused_experts")
         ragged_src = stacked if stacked is not None else fused
-        if self._ragged_ok(ragged_src, int(np.prod(x.shape[:-1]))):
+        if self._ragged_ok(ragged_src, int(np.prod(x.shape[:-1])),
+                           fused_source=stacked is None and fused is not None):
             if stacked is None:
                 inter = cfg.moe_intermediate_size or cfg.intermediate_size
                 ragged_src = self._fused_to_stacked_dense(fused, inter)
